@@ -1,0 +1,150 @@
+"""Configuration dataclasses for the MixQ-TPU framework.
+
+Replaces the reference's scattered config surface (quant_config.json dict at
+models/base.py:249-255, magic numbers in Cache.py:6-22, policy tables in
+utils/module.py:2-12, env vars BATCH_SIZE/WORLD_SIZE) with one typed config.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Quantization scheme config.
+
+    Mirrors the reference's quant_config.json {"w_bit", "version",
+    "q_group_size"} (models/base.py:249-255) plus the implicit constants:
+    sigma=6 outlier threshold (Cache.py:9), outlier budget 128/256
+    (models/base.py:303,387), warmup stop=2 (Cache.py:22).
+    """
+
+    w_bit: int = 8                     # weight bits: 4, 8, or 16 (fp16 = no quant)
+    a_bit: int = 16                    # activation bits: 4, 8, or 16
+    version: str = "MIX"               # "MIX" | "QUIK" | "WEIGHT_ONLY" | "FP16"
+    q_group_size: int = -1             # -1 = per-channel (reference default)
+    outlier_budget: int = 128          # max fp16 outlier channels per linear
+    outlier_sigma: float = 6.0         # |x| threshold for online outlier detect
+    warmup_steps: int = 2              # online-predictor warmup forwards before freeze
+    # per-layer-name overrides: layers matching these suffixes are forced to
+    # 8-bit even in 4-bit models (reference eightbit_only_name, utils/module.py:2)
+    eightbit_only_names: Tuple[str, ...] = ("down_proj", "o_proj", "fc_out")
+    # layers matching these suffixes use weight-only W8A16
+    # (reference weight_only_map, utils/module.py:4-12)
+    weight_only_names: Tuple[str, ...] = ()
+    # compute/kv dtype
+    dtype: str = "bfloat16"
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "QuantConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        d = {k: (tuple(v) if isinstance(v, list) else v) for k, v in d.items() if k in fields}
+        return cls(**d)
+
+    @classmethod
+    def fp16(cls) -> "QuantConfig":
+        return cls(w_bit=16, a_bit=16, version="FP16")
+
+    @classmethod
+    def w8a8(cls, **kw) -> "QuantConfig":
+        return cls(w_bit=8, a_bit=8, version="MIX", **kw)
+
+    @classmethod
+    def w4a4(cls, **kw) -> "QuantConfig":
+        kw.setdefault("outlier_budget", 128)
+        return cls(w_bit=4, a_bit=4, version="MIX", **kw)
+
+    @classmethod
+    def quik_w4a4(cls, **kw) -> "QuantConfig":
+        kw.setdefault("outlier_budget", 256)
+        return cls(w_bit=4, a_bit=4, version="QUIK", **kw)
+
+    @classmethod
+    def w8a16(cls, **kw) -> "QuantConfig":
+        return cls(w_bit=8, a_bit=16, version="WEIGHT_ONLY", **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture config for the functional decoder models.
+
+    Superset of the fields the reference pulls from HF configs
+    (modules/fused/attn.py:77-114, models/llama.py:24-71).
+    """
+
+    model_type: str = "llama"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32      # < num_attention_heads => GQA/MQA
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    hidden_act: str = "silu"           # "silu" | "gelu" | "gelu_new"
+    attention_bias: bool = False       # qwen2: True for qkv
+    mlp_bias: bool = False
+    layernorm: str = "rmsnorm"         # "rmsnorm" | "layernorm"
+    parallel_attn_mlp: bool = False    # falcon/gptj-style parallel block
+    rope_style: str = "neox"           # "neox" (half-rotate) | "gptj" (interleaved)
+    rotary_dim: Optional[int] = None   # partial rotary (gptj/chatglm)
+    sliding_window: Optional[int] = None
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    @classmethod
+    def tiny(cls, **kw) -> "ModelConfig":
+        """Small config for tests."""
+        base = dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Serving-engine config (batching, KV cache, mesh)."""
+
+    max_batch_size: int = 8
+    max_seq_len: int = 2048            # static KV allocation (reference default
+                                       # max_new_tokens=2048, models/base.py:263)
+    prefill_chunk: int = 512           # prefill bucketing granularity
+    kv_dtype: str = "bfloat16"
+    # mesh axes: data-parallel over DCN, tensor-parallel over ICI
+    mesh_shape: Tuple[int, ...] = (1, 1)
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+    donate_kv: bool = True
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def save_quant_config(cfg: QuantConfig, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(cfg.to_dict(), f, indent=2)
+
+
+def load_quant_config(path: str) -> QuantConfig:
+    with open(path) as f:
+        return QuantConfig.from_dict(json.load(f))

@@ -1,0 +1,145 @@
+"""Inference engine: jitted prefill/decode steps over a static KV cache.
+
+Replaces the reference's serving story (HF `model.generate()` on mutated
+modules, benchflops.py:82-133) with two compiled XLA programs:
+
+  prefill(params, tokens[B,Tp], cache, kv_start) -> (last_logits, cache)
+  decode (params, tokens[B,1],  cache)           -> (logits,      cache)
+
+The KV cache is donated every step, so decode runs allocation-free; batch and
+sequence are bucketed to keep shapes static (SURVEY.md §7 "hard parts").
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixq_tpu.config import EngineConfig, ModelConfig
+from mixq_tpu.engine.sampling import SamplingParams, sample
+from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs, forward
+from mixq_tpu.models.layers import KVCache
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class InferenceEngine:
+    """Single-program inference engine (multi-chip via sharded params/cache —
+    the engine code is identical; GSPMD partitions the compiled steps)."""
+
+    def __init__(
+        self,
+        params: DecoderParams,
+        model_cfg: ModelConfig,
+        specs: DecoderSpecs,
+        engine_cfg: Optional[EngineConfig] = None,
+    ):
+        self.params = params
+        self.model_cfg = model_cfg
+        self.specs = specs
+        self.engine_cfg = engine_cfg or EngineConfig()
+
+        mc = model_cfg
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _prefill(params, tokens, cache, kv_start):
+            logits, cache = forward(params, tokens, cache, specs, mc, kv_start)
+            return logits[:, -1, :], cache
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _decode(params, tokens, cache, kv_start):
+            logits, cache = forward(params, tokens, cache, specs, mc, kv_start)
+            return logits[:, -1, :], cache
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _sample(logits, key, sp: SamplingParams):
+            return sample(logits, key, sp)
+
+        self._prefill = _prefill
+        self._decode = _decode
+        self._sample = _sample
+
+    def new_cache(self, batch: int, max_seq: Optional[int] = None) -> KVCache:
+        mc = self.model_cfg
+        return KVCache.create(
+            mc.num_hidden_layers, batch, max_seq or self.engine_cfg.max_seq_len,
+            mc.num_key_value_heads, mc.head_dim_,
+            dtype=jnp.dtype(self.engine_cfg.kv_dtype),
+        )
+
+    # -- one-shot convenience API ------------------------------------------
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int = 128,
+        sampling: SamplingParams = SamplingParams(),
+        seed: int = 0,
+        eos_token_id: Optional[int] = None,
+        pad_token_id: int = 0,
+    ) -> List[List[int]]:
+        """Batched generation from token-id prompts. Prompts are left-padded
+        to a common bucketed length; per-row `kv_start` masks the padding."""
+        B = len(prompts)
+        lens = [len(p) for p in prompts]
+        Tp = _round_up(max(lens), self.engine_cfg.prefill_chunk)
+        Tp = min(Tp, self.engine_cfg.max_seq_len)
+        assert max(lens) <= Tp, "prompt longer than max_seq_len"
+
+        tokens = np.full((B, Tp), pad_token_id, np.int32)
+        kv_start = np.zeros((B,), np.int32)
+        for i, p in enumerate(prompts):
+            tokens[i, Tp - len(p):] = p
+            kv_start[i] = Tp - len(p)
+
+        total = Tp + max_new_tokens
+        cache = self.new_cache(B, _round_up(total, 128))
+        kv_start_j = jnp.asarray(kv_start)
+
+        logits, cache = self._prefill(
+            self.params, jnp.asarray(tokens), cache, kv_start_j
+        )
+
+        key = jax.random.PRNGKey(seed)
+        out_tokens = []
+        next_tok = self._sample(logits, key, sampling)
+        out_tokens.append(np.asarray(next_tok))
+        for step in range(1, max_new_tokens):
+            key, sub = jax.random.split(key)
+            logits, cache = self._decode(
+                self.params, next_tok[:, None], cache, kv_start_j
+            )
+            next_tok = self._sample(logits, sub, sampling)
+            host_tok = np.asarray(next_tok)
+            out_tokens.append(host_tok)
+            if eos_token_id is not None and bool(np.all(host_tok == eos_token_id)):
+                break
+
+        gen = np.stack(out_tokens, axis=1)  # [B, steps]
+        results = []
+        for i in range(B):
+            row = gen[i].tolist()
+            if eos_token_id is not None and eos_token_id in row:
+                row = row[: row.index(eos_token_id) + 1]
+            results.append(row)
+        return results
+
+    # -- stepwise API (for benchmarking / continuous batching) -------------
+
+    def prefill(self, tokens: jax.Array, cache: KVCache,
+                kv_start: Optional[jax.Array] = None):
+        if kv_start is None:
+            kv_start = jnp.zeros((tokens.shape[0],), jnp.int32)
+        return self._prefill(self.params, tokens, cache, kv_start)
+
+    def decode_step(self, tokens: jax.Array, cache: KVCache,
+                    kv_start: Optional[jax.Array] = None):
+        if kv_start is None:
+            kv_start = jnp.zeros((tokens.shape[0],), jnp.int32)
+        return self._decode(self.params, tokens, cache, kv_start)

@@ -1,0 +1,257 @@
+"""Generic functional decoder-only transformer over a quantized param pytree.
+
+This is the TPU-native replacement for the reference's module-surgery stack
+(models/base.py:273-404 swapping nn.Linear for MixLinear_GEMM + per-model
+*Fuser classes, models/llama.py:73-178): here a model IS a param pytree plus
+a pure `forward` function; quantization is a property of the params, and the
+per-linear precision policy is a static `DecoderSpecs`.
+
+One decoder covers the reference's model families via ModelConfig switches:
+  llama/llama-2/llama-3/aquila   : RMSNorm, SwiGLU, GQA, neox rope
+  qwen2                          : + attention qkv bias
+  mistral                        : + sliding window
+  baichuan                       : fused W_pack qkv (native here: wqkv always fused)
+  falcon                         : LayerNorm, GELU no-gate MLP, parallel attn+mlp, MQA
+  gptj                           : LayerNorm, parallel block, gptj rope, partial rotary
+  opt                            : LayerNorm, GELU MLP, learned positions (adapter maps
+                                   learned pos-emb into embed at load time)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mixq_tpu.config import ModelConfig
+from mixq_tpu.models.layers import (
+    KVCache, apply_rope, attend, layernorm, rmsnorm, rope_cos_sin,
+)
+from mixq_tpu.ops.mixed_linear import (
+    LinearSpec, MixLinearParams, QuantizedAct, from_float, mixed_linear,
+    mixed_linear_prepared, prepare_act,
+)
+
+
+class AttnParams(NamedTuple):
+    wqkv: MixLinearParams          # fused q|k|v  [H, (nq + 2*nkv) * hd]
+    wo: MixLinearParams            # [nq*hd, H]
+
+
+class MLPParams(NamedTuple):
+    up: MixLinearParams            # [H, I]  (fc_in for no-gate archs)
+    gate: Optional[MixLinearParams]  # [H, I] or None (falcon/gptj/opt)
+    down: MixLinearParams          # [I, H]  (fc_out)
+
+
+class BlockParams(NamedTuple):
+    ln1_scale: jax.Array
+    ln1_bias: Optional[jax.Array]
+    attn: AttnParams
+    ln2_scale: Optional[jax.Array]  # None for parallel-block archs
+    ln2_bias: Optional[jax.Array]
+    mlp: MLPParams
+
+
+class DecoderParams(NamedTuple):
+    embed: jax.Array               # [V, H]
+    blocks: Tuple[BlockParams, ...]
+    lnf_scale: jax.Array
+    lnf_bias: Optional[jax.Array]
+    lm_head: Optional[jax.Array]   # [H, V] fp; None = tied to embed
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderSpecs:
+    """Static per-linear precision policy, uniform across layers (the
+    reference's weight_only_map / eightbit_only_name policy tables,
+    utils/module.py:2-12, resolved at quantization time)."""
+
+    wqkv: LinearSpec = LinearSpec(version="FP16", w_bit=16)
+    wo: LinearSpec = LinearSpec(version="FP16", w_bit=16)
+    up: LinearSpec = LinearSpec(version="FP16", w_bit=16)
+    gate: LinearSpec = LinearSpec(version="FP16", w_bit=16)
+    down: LinearSpec = LinearSpec(version="FP16", w_bit=16)
+
+    @classmethod
+    def uniform(cls, spec: LinearSpec) -> "DecoderSpecs":
+        gate = dataclasses.replace(spec, fuse="silu")
+        return cls(wqkv=spec, wo=spec, up=spec, gate=gate, down=spec)
+
+    @classmethod
+    def fp16(cls) -> "DecoderSpecs":
+        s = LinearSpec(version="FP16", w_bit=16)
+        return cls.uniform(s)
+
+
+def _norm(x, scale, bias, cfg: ModelConfig):
+    if cfg.layernorm == "rmsnorm":
+        return rmsnorm(x, scale, cfg.rms_norm_eps)
+    return layernorm(x, scale, bias, cfg.rms_norm_eps)
+
+
+def _mlp(h: jax.Array, mlp: MLPParams, specs: DecoderSpecs, cfg: ModelConfig):
+    """SwiGLU (MixLlamaMLP, fused/mlp.py:37-70) or plain act MLP
+    (MixFalconMLP/MixGPTJMLP, fused/mlp.py:8-33,74-94). The up/gate pair
+    shares one quantized activation — the functional equivalent of the
+    reference's cache.q_xcache reuse between up_proj and gate_proj."""
+    if mlp.gate is not None:
+        act = prepare_act(h, mlp.up, specs.up)
+        up = mixed_linear_prepared(mlp.up, act, specs.up)
+        gate = mixed_linear_prepared(mlp.gate, act, specs.gate)  # fused silu
+        inner = (gate.astype(jnp.float32) * up.astype(jnp.float32)).astype(up.dtype)
+    else:
+        spec_up = specs.up
+        if spec_up.fuse == "none":
+            spec_up = dataclasses.replace(spec_up, fuse="gelu")
+        inner = mixed_linear(mlp.up, h, spec_up)
+    return mixed_linear(mlp.down, inner, specs.down)
+
+
+def block_forward(
+    x: jax.Array,                  # [B, T, H]
+    bp: BlockParams,
+    cache: KVCache,
+    layer: int,
+    q_slot: jax.Array,             # [T] cache-slot indices
+    cos: jax.Array,
+    sin: jax.Array,
+    specs: DecoderSpecs,
+    cfg: ModelConfig,
+    kv_start: Optional[jax.Array] = None,  # [B]
+) -> Tuple[jax.Array, KVCache]:
+    B, T, H = x.shape
+    n_q, n_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+    h_ln = _norm(x, bp.ln1_scale, bp.ln1_bias, cfg)
+
+    # --- attention (QuantAttentionFused, fused/attn.py:206-278) ---
+    qkv = mixed_linear(bp.attn.wqkv, h_ln, specs.wqkv)   # [B,T,(nq+2nkv)*hd]
+    q, k, v = jnp.split(
+        qkv, [n_q * hd, (n_q + n_kv) * hd], axis=-1
+    )
+    q = q.reshape(B, T, n_q, hd)
+    k = k.reshape(B, T, n_kv, hd)
+    v = v.reshape(B, T, n_kv, hd)
+    q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rotary_dim)
+    k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rotary_dim)
+
+    cache = cache.update_layer(layer, k, v)
+    kv_len = cache.length + T
+    attn_out = attend(
+        q, cache.k[layer], cache.v[layer], q_slot, kv_len,
+        kv_start=kv_start, sliding_window=cfg.sliding_window,
+    )
+    attn_out = attn_out.reshape(B, T, n_q * hd)
+    # o_proj quantizes its own input inline (the reference's unfused=True
+    # call, attn.py:263 -> linear.py:187-195)
+    attn_out = mixed_linear(bp.attn.wo, attn_out, specs.wo)
+
+    if cfg.parallel_attn_mlp:
+        mlp_out = _mlp(h_ln, bp.mlp, specs, cfg)
+        return (
+            x + attn_out.astype(x.dtype) + mlp_out.astype(x.dtype),
+            cache,
+        )
+
+    x = x + attn_out.astype(x.dtype)
+    h2 = _norm(x, bp.ln2_scale, bp.ln2_bias, cfg)
+    mlp_out = _mlp(h2, bp.mlp, specs, cfg)
+    return x + mlp_out.astype(x.dtype), cache
+
+
+def forward(
+    params: DecoderParams,
+    tokens: jax.Array,             # [B, T] int32
+    cache: KVCache,
+    specs: DecoderSpecs,
+    cfg: ModelConfig,
+    kv_start: Optional[jax.Array] = None,  # [B] — first real slot per row,
+                                   # for left-padded batched prompts
+) -> Tuple[jax.Array, KVCache]:
+    """Run the decoder on a token chunk starting at cache.length.
+
+    Returns (logits [B, T, V] f32, updated cache with length advanced by T).
+    Works for prefill (T = prompt chunk) and decode (T = 1) alike — the
+    reference needs two attention code paths (varlen prefill vs dense decode,
+    attn.py:153-204); static-shape masking unifies them.
+    """
+    B, T = tokens.shape
+    x = jnp.take(params.embed, tokens, axis=0).astype(jnp.dtype(specs.wqkv.out_dtype))
+
+    q_slot = cache.length + jnp.arange(T, dtype=jnp.int32)
+    # logical (rope) positions discount left padding per row
+    if kv_start is not None:
+        rope_pos = jnp.maximum(q_slot[None, :] - kv_start[:, None], 0)  # [B,T]
+    else:
+        rope_pos = q_slot
+    rot = cfg.rotary_dim or cfg.head_dim_
+    cos, sin = rope_cos_sin(rope_pos, rot, cfg.rope_theta)
+
+    for i, bp in enumerate(params.blocks):
+        x, cache = block_forward(
+            x, bp, cache, i, q_slot, cos, sin, specs, cfg, kv_start=kv_start
+        )
+    cache = cache.advance(T)
+
+    x = _norm(x, params.lnf_scale, params.lnf_bias, cfg)
+    head = params.lm_head if params.lm_head is not None else params.embed.T
+    logits = jnp.dot(
+        x.astype(jnp.bfloat16), head.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests) and fp construction
+# ---------------------------------------------------------------------------
+
+def init_decoder_params(
+    key: jax.Array, cfg: ModelConfig, specs: Optional[DecoderSpecs] = None,
+    dtype=jnp.float32,
+) -> DecoderParams:
+    """Random fp init (for tests/benchmarks without checkpoints). If `specs`
+    is quantized, weights are quantized at init."""
+    specs = specs or DecoderSpecs.fp16()
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    n_q, n_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+
+    def lin(k, d_in, d_out, spec, scale=0.02):
+        w = jax.random.normal(k, (d_in, d_out), dtype) * scale
+        return from_float(w, spec)
+
+    blocks = []
+    use_ln_bias = cfg.layernorm == "layernorm"
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 5)
+        attn = AttnParams(
+            wqkv=lin(ks[0], H, (n_q + 2 * n_kv) * hd, specs.wqkv),
+            wo=lin(ks[1], n_q * hd, H, specs.wo),
+        )
+        mlp = MLPParams(
+            up=lin(ks[2], H, I, specs.up),
+            gate=lin(ks[3], H, I, specs.gate) if cfg.hidden_act == "silu" else None,
+            down=lin(ks[4], I, H, specs.down),
+        )
+        blocks.append(BlockParams(
+            ln1_scale=jnp.ones((H,), dtype),
+            ln1_bias=jnp.zeros((H,), dtype) if use_ln_bias else None,
+            attn=attn,
+            ln2_scale=None if cfg.parallel_attn_mlp else jnp.ones((H,), dtype),
+            ln2_bias=(jnp.zeros((H,), dtype)
+                      if use_ln_bias and not cfg.parallel_attn_mlp else None),
+            mlp=mlp,
+        ))
+    embed = jax.random.normal(keys[-2], (V, H), dtype) * 0.02
+    lm_head = (None if cfg.tie_word_embeddings
+               else jax.random.normal(keys[-1], (H, V), dtype) * 0.02)
+    return DecoderParams(
+        embed=embed,
+        blocks=tuple(blocks),
+        lnf_scale=jnp.ones((H,), dtype),
+        lnf_bias=jnp.zeros((H,), dtype) if use_ln_bias else None,
+        lm_head=lm_head,
+    )

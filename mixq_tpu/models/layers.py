@@ -1,0 +1,215 @@
+"""Transformer building blocks as pure functions (norms, RoPE, attention).
+
+TPU-native replacements for the reference's fused modules:
+  - FasterTransformerRMSNorm (modules/fused/norm.py:6-39) -> rmsnorm /
+    rmsnorm_quant (norm + outlier-extract + per-token quant in one pass; the
+    Pallas-fused version lives in mixq_tpu/ops/pallas/rmsnorm_quant.py)
+  - RotaryEmbedding + apply_rotary_pos_emb (modules/fused/attn.py:18-61,
+    gptj_attn.py rotate-every-two) -> rope_cos_sin / apply_rope
+  - flash_attn_func + WindowedCache (attn.py:116-204, fused/cache.py:3-38) ->
+    attend() over a static-shape KV cache with masking; GQA via einsum
+    grouping instead of repeat_kv materialization (mistral_attn.py:76-86)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mixq_tpu.ops import quant as Q
+from mixq_tpu.ops.mixed_linear import LinearSpec, MixLinearParams, QuantizedAct
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+def rmsnorm(x: jax.Array, scale: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layernorm(
+    x: jax.Array, scale: jax.Array, bias: Optional[jax.Array], eps: float = 1e-5
+) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rmsnorm_quant(
+    x: jax.Array,
+    scale: jax.Array,
+    next_params: MixLinearParams,
+    next_spec: LinearSpec,
+    eps: float = 1e-5,
+) -> Tuple[jax.Array, QuantizedAct]:
+    """RMSNorm fused with the next linear's activation preparation — the key
+    fusion of the reference (mixlib.layernorm_forward_cuda_extract_outliers,
+    norm.py:25-33): one HBM pass produces the normed fp output AND the
+    quantized int8 activation + fp outlier slice for the following linear.
+
+    Returns (normed_x, QuantizedAct). XLA fuses this chain well already; the
+    Pallas kernel version keeps everything VMEM-resident for the decode path.
+    """
+    y = rmsnorm(x, scale, eps)
+    from mixq_tpu.ops.mixed_linear import prepare_act
+
+    return y, prepare_act(y, next_params, next_spec)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings
+# ---------------------------------------------------------------------------
+
+def rope_cos_sin(
+    positions: jax.Array,       # [...] int32
+    dim: int,
+    theta: float = 10000.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compute fp32 cos/sin tables for given positions (reference computes
+    fp32 tables too, attn.py:30-44). Returns ([..., dim/2] cos, sin)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., dim/2]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(
+    x: jax.Array,               # [B, T, H, D]
+    cos: jax.Array,             # [T, rot/2] or [B, T, rot/2]
+    sin: jax.Array,
+    style: str = "neox",
+    rotary_dim: Optional[int] = None,
+) -> jax.Array:
+    """Apply rotary embedding. 'neox' = rotate-half (llama/qwen/falcon),
+    'gptj' = rotate-every-two (gptj/chatglm first half)."""
+    D = x.shape[-1]
+    rot = rotary_dim or D
+    x_rot, x_pass = x[..., :rot], x[..., rot:]
+    # broadcast cos/sin over head axis: [*, T, 1, rot/2]
+    c = jnp.expand_dims(cos, axis=-2)
+    s = jnp.expand_dims(sin, axis=-2)
+    if c.ndim == x.ndim - 1:      # [T, 1, r/2] -> [1, T, 1, r/2]
+        c, s = c[None], s[None]
+    xf = x_rot.astype(jnp.float32)
+    if style == "neox":
+        x1, x2 = jnp.split(xf, 2, axis=-1)
+        o1 = x1 * c - x2 * s
+        o2 = x2 * c + x1 * s
+        out = jnp.concatenate([o1, o2], axis=-1)
+    elif style == "gptj":
+        x1 = xf[..., 0::2]
+        x2 = xf[..., 1::2]
+        o1 = x1 * c - x2 * s
+        o2 = x2 * c + x1 * s
+        out = jnp.stack([o1, o2], axis=-1).reshape(xf.shape)
+    else:
+        raise ValueError(f"unknown rope style {style}")
+    out = out.astype(x.dtype)
+    if rot < D:
+        out = jnp.concatenate([out, x_pass], axis=-1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    """Static-shape per-model KV cache — the reference's dead `WindowedCache`
+    design (fused/cache.py:3-38) done properly: preallocated
+    [L, B, S_max, n_kv, hd], updated in place via dynamic_update_slice and
+    donated across decode steps (no HF dynamic Cache reallocation).
+    """
+
+    k: jax.Array               # [L, B, S, n_kv, hd]
+    v: jax.Array               # [L, B, S, n_kv, hd]
+    length: jax.Array          # [] int32 — valid prefix length
+
+    @classmethod
+    def create(cls, n_layers, batch, max_seq, n_kv, head_dim, dtype=jnp.bfloat16):
+        shape = (n_layers, batch, max_seq, n_kv, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+    def update_layer(
+        self, layer: int, k_new: jax.Array, v_new: jax.Array
+    ) -> "KVCache":
+        """Write [B, T, n_kv, hd] at the current length offset for `layer`.
+        Length advance happens once per step via `advance`."""
+        k = jax.lax.dynamic_update_slice(
+            self.k, k_new[None].astype(self.k.dtype), (layer, 0, self.length, 0, 0)
+        )
+        v = jax.lax.dynamic_update_slice(
+            self.v, v_new[None].astype(self.v.dtype), (layer, 0, self.length, 0, 0)
+        )
+        return self._replace(k=k, v=v)
+
+    def advance(self, t: int) -> "KVCache":
+        return self._replace(length=self.length + t)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def attend(
+    q: jax.Array,              # [B, T, n_q, D]
+    k: jax.Array,              # [B, S, n_kv, D] (full static cache incl. new)
+    v: jax.Array,              # [B, S, n_kv, D]
+    q_slot: jax.Array,         # [T] int32 — cache-slot indices of the queries
+    kv_valid_len: jax.Array,   # [] int32 — number of valid cache slots
+    kv_start: Optional[jax.Array] = None,  # [B] int32 — first real slot per
+                               # row (left-padded prompts); slots before it
+                               # are masked out
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Masked multi-head attention over a static-shape KV buffer.
+
+    GQA is handled by grouping query heads against shared KV heads in the
+    einsum (no repeat_kv materialization — the reference materializes,
+    mistral_attn.py:76-86, which wastes HBM bandwidth).
+    Replaces flash_attn_func / varlen (attn.py:116-204): padded slots are
+    masked instead of unpadded, keeping shapes static for XLA.
+    """
+    B, T, n_q, D = q.shape
+    S, n_kv = k.shape[1], k.shape[2]
+    groups = n_q // n_kv
+    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+
+    qf = q.reshape(B, T, n_kv, groups, D).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    # scores: [B, n_kv, groups, T, S]
+    scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf) * scale
+
+    kv_pos = jnp.arange(S, dtype=jnp.int32)
+    causal = kv_pos[None, :] <= q_slot[:, None]              # [T, S]
+    valid = kv_pos[None, :] < kv_valid_len                   # [1, S]
+    mask = (causal & valid)[None]                            # [1, T, S]
+    if kv_start is not None:
+        mask = mask & (kv_pos[None, None, :] >= kv_start[:, None, None])
+    if sliding_window is not None:
+        mask = mask & (kv_pos[None, None, :] > q_slot[None, :, None] - sliding_window)
+    scores = jnp.where(mask[:, None, None], scores, -1e30)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
+    return out.reshape(B, T, n_q, D).astype(q.dtype)
