@@ -1,0 +1,114 @@
+"""Decode-throughput benchmark (the reference benchflops.py workload:
+Llama-2-7B W8A8O16, decode steps at large batch — README.md:69-76 baseline
+10,609.8 tokens/s on A100-PCIE-40GB).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Runs on whatever platform JAX resolves (the driver points it at one TPU
+chip). Model weights are random — decode throughput does not depend on
+weight values. Shapes are env-tunable:
+  BENCH_BATCH (default 64), BENCH_SEQ (KV slots, default 64),
+  BENCH_DECODE_STEPS (default 16), BENCH_LAYERS (default 32 = Llama-2-7B),
+  BENCH_PRESET (tiny|7b, default 7b).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mixq_tpu.config import ModelConfig
+from mixq_tpu.models import DecoderSpecs, KVCache
+from mixq_tpu.models.decoder import forward, init_decoder_params
+from mixq_tpu.ops.mixed_linear import LinearSpec
+
+BASELINE_TOKENS_PER_S = 10609.8     # reference README.md:69-76
+
+
+def llama2_7b_cfg(n_layers: int) -> ModelConfig:
+    return ModelConfig(
+        model_type="llama", vocab_size=32000, hidden_size=4096,
+        intermediate_size=11008, num_hidden_layers=n_layers,
+        num_attention_heads=32, num_key_value_heads=32,
+        max_position_embeddings=4096,
+    )
+
+
+def tiny_cfg(n_layers: int) -> ModelConfig:
+    return ModelConfig(
+        model_type="llama", vocab_size=1024, hidden_size=256,
+        intermediate_size=704, num_hidden_layers=n_layers,
+        num_attention_heads=4, num_key_value_heads=4,
+    )
+
+
+def main():
+    preset = os.environ.get("BENCH_PRESET", "7b")
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    S = int(os.environ.get("BENCH_SEQ", "32"))
+    steps = int(os.environ.get("BENCH_DECODE_STEPS", "32"))
+    n_layers = int(os.environ.get("BENCH_LAYERS", "32" if preset == "7b" else "2"))
+
+    cfg = llama2_7b_cfg(n_layers) if preset == "7b" else tiny_cfg(n_layers)
+    specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+
+    t0 = time.time()
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,
+                                 dtype=jnp.bfloat16)
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
+    print(f"init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+
+    cache = KVCache.create(cfg.num_hidden_layers, B, S,
+                           cfg.num_key_value_heads, cfg.head_dim_,
+                           jnp.bfloat16)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def decode(params, tokens, cache):
+        logits, cache = forward(params, tokens, cache, specs, cfg)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    tokens = jnp.ones((B, 1), jnp.int32)
+
+    t0 = time.time()
+    nxt, cache = decode(params, tokens, cache)
+    _ = jax.device_get(nxt)
+    print(f"compile+first step {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # warmup (reference uses 10 warmup steps, benchflops.py:110)
+    for _ in range(3):
+        nxt, cache = decode(params, nxt[:, None], cache)
+    _ = jax.device_get(nxt)
+
+    # NOTE: through the remote-execution relay, block_until_ready() returns
+    # before the device finishes, so we time CHAINS of dependent steps ended
+    # by one host fetch, at two lengths N and 2N; the difference cancels the
+    # constant dispatch/fetch overhead.
+    def run_chain(n, nxt, cache):
+        t0 = time.time()
+        for _ in range(n):
+            nxt, cache = decode(params, nxt[:, None], cache)
+        _ = jax.device_get(nxt)
+        return time.time() - t0, nxt, cache
+
+    t1, nxt, cache = run_chain(steps, nxt, cache)
+    t2, nxt, cache = run_chain(2 * steps, nxt, cache)
+    per_step = max((t2 - t1) / steps, 1e-9)
+    tokens_per_s = B / per_step
+    print(f"chain timing: t({steps})={t1*1000:.1f}ms t({2*steps})={t2*1000:.1f}ms"
+          f" -> {per_step*1000:.2f}ms/step", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "llama2_7b_w8a8o16_decode_throughput",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_s / BASELINE_TOKENS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

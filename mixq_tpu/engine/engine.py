@@ -87,7 +87,9 @@ class InferenceEngine:
         """Batched generation from token-id prompts. Prompts are left-padded
         to a common bucketed length; per-row `kv_start` masks the padding."""
         B = len(prompts)
+        assert B > 0, "empty prompt batch"
         lens = [len(p) for p in prompts]
+        assert min(lens) > 0, "prompts must contain at least one token"
         Tp = _round_up(max(lens), self.engine_cfg.prefill_chunk)
         Tp = min(Tp, self.engine_cfg.max_seq_len)
         assert max(lens) <= Tp, "prompt longer than max_seq_len"

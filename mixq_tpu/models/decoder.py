@@ -35,7 +35,18 @@ from mixq_tpu.ops.mixed_linear import (
 
 
 class AttnParams(NamedTuple):
-    wqkv: MixLinearParams          # fused q|k|v  [H, (nq + 2*nkv) * hd]
+    """q/k/v kept as separate tensors sharing ONE quantized activation.
+
+    The reference fuses them into a single W_pack GEMM (llama.py:98-166) to
+    amortize CUDA kernel launches; on TPU there is no launch overhead and a
+    fused N dim breaks head-aligned tensor-parallel sharding, so the
+    TPU-native form is three GEMMs over one shared int8 activation — same
+    HBM traffic for activations, clean P(None,'model') shards per tensor.
+    """
+
+    wq: MixLinearParams            # [H, nq*hd]
+    wk: MixLinearParams            # [H, nkv*hd]
+    wv: MixLinearParams            # [H, nkv*hd]
     wo: MixLinearParams            # [nq*hd, H]
 
 
@@ -91,22 +102,32 @@ def _norm(x, scale, bias, cfg: ModelConfig):
     return layernorm(x, scale, bias, cfg.rms_norm_eps)
 
 
+def _absmax_channels(x: jax.Array) -> jax.Array:
+    """Per-channel absolute max over batch/time — the calibration statistic
+    (reference smooth_quant_get_act.py:13-51 records the same via hooks)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)).reshape(-1, x.shape[-1]), axis=0)
+
+
 def _mlp(h: jax.Array, mlp: MLPParams, specs: DecoderSpecs, cfg: ModelConfig):
     """SwiGLU (MixLlamaMLP, fused/mlp.py:37-70) or plain act MLP
     (MixFalconMLP/MixGPTJMLP, fused/mlp.py:8-33,74-94). The up/gate pair
     shares one quantized activation — the functional equivalent of the
     reference's cache.q_xcache reuse between up_proj and gate_proj."""
     if mlp.gate is not None:
-        act = prepare_act(h, mlp.up, specs.up)
-        up = mixed_linear_prepared(mlp.up, act, specs.up)
-        gate = mixed_linear_prepared(mlp.gate, act, specs.gate)  # fused silu
+        if specs.up.version in ("FP16", "WEIGHT_ONLY", "QUIK"):
+            up = mixed_linear(mlp.up, h, specs.up)
+            gate = mixed_linear(mlp.gate, h, specs.gate)     # fused silu
+        else:
+            act = prepare_act(h, mlp.up, specs.up)
+            up = mixed_linear_prepared(mlp.up, act, specs.up)
+            gate = mixed_linear_prepared(mlp.gate, act, specs.gate)
         inner = (gate.astype(jnp.float32) * up.astype(jnp.float32)).astype(up.dtype)
     else:
         spec_up = specs.up
         if spec_up.fuse == "none":
             spec_up = dataclasses.replace(spec_up, fuse="gelu")
         inner = mixed_linear(mlp.up, h, spec_up)
-    return mixed_linear(mlp.down, inner, specs.down)
+    return mixed_linear(mlp.down, inner, specs.down), inner
 
 
 def block_forward(
@@ -120,17 +141,25 @@ def block_forward(
     specs: DecoderSpecs,
     cfg: ModelConfig,
     kv_start: Optional[jax.Array] = None,  # [B]
-) -> Tuple[jax.Array, KVCache]:
+    collect_stats: bool = False,
+):
     B, T, H = x.shape
     n_q, n_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
     h_ln = _norm(x, bp.ln1_scale, bp.ln1_bias, cfg)
 
     # --- attention (QuantAttentionFused, fused/attn.py:206-278) ---
-    qkv = mixed_linear(bp.attn.wqkv, h_ln, specs.wqkv)   # [B,T,(nq+2nkv)*hd]
-    q, k, v = jnp.split(
-        qkv, [n_q * hd, (n_q + n_kv) * hd], axis=-1
-    )
+    # one shared quantized activation feeds all three projections (the
+    # reference's W_pack fusion / SharedQuantizedInput, qlinear.py:22-38)
+    if specs.wqkv.version in ("FP16", "WEIGHT_ONLY", "QUIK"):
+        q = mixed_linear(bp.attn.wq, h_ln, specs.wqkv)
+        k = mixed_linear(bp.attn.wk, h_ln, specs.wqkv)
+        v = mixed_linear(bp.attn.wv, h_ln, specs.wqkv)
+    else:
+        act = prepare_act(h_ln, bp.attn.wq, specs.wqkv)
+        q = mixed_linear_prepared(bp.attn.wq, act, specs.wqkv)
+        k = mixed_linear_prepared(bp.attn.wk, act, specs.wqkv)
+        v = mixed_linear_prepared(bp.attn.wv, act, specs.wqkv)
     q = q.reshape(B, T, n_q, hd)
     k = k.reshape(B, T, n_kv, hd)
     v = v.reshape(B, T, n_kv, hd)
@@ -139,26 +168,34 @@ def block_forward(
 
     cache = cache.update_layer(layer, k, v)
     kv_len = cache.length + T
-    attn_out = attend(
+    attn_raw = attend(
         q, cache.k[layer], cache.v[layer], q_slot, kv_len,
         kv_start=kv_start, sliding_window=cfg.sliding_window,
     )
-    attn_out = attn_out.reshape(B, T, n_q * hd)
+    attn_raw = attn_raw.reshape(B, T, n_q * hd)
     # o_proj quantizes its own input inline (the reference's unfused=True
     # call, attn.py:263 -> linear.py:187-195)
-    attn_out = mixed_linear(bp.attn.wo, attn_out, specs.wo)
+    attn_out = mixed_linear(bp.attn.wo, attn_raw, specs.wo)
 
     if cfg.parallel_attn_mlp:
-        mlp_out = _mlp(h_ln, bp.mlp, specs, cfg)
-        return (
-            x + attn_out.astype(x.dtype) + mlp_out.astype(x.dtype),
-            cache,
-        )
+        mlp_out, inner = _mlp(h_ln, bp.mlp, specs, cfg)
+        mlp_in = h_ln
+        out = x + attn_out.astype(x.dtype) + mlp_out.astype(x.dtype)
+    else:
+        x = x + attn_out.astype(x.dtype)
+        mlp_in = _norm(x, bp.ln2_scale, bp.ln2_bias, cfg)
+        mlp_out, inner = _mlp(mlp_in, bp.mlp, specs, cfg)
+        out = x + mlp_out.astype(x.dtype)
 
-    x = x + attn_out.astype(x.dtype)
-    h2 = _norm(x, bp.ln2_scale, bp.ln2_bias, cfg)
-    mlp_out = _mlp(h2, bp.mlp, specs, cfg)
-    return x + mlp_out.astype(x.dtype), cache
+    if collect_stats:
+        stats = {
+            "wqkv": _absmax_channels(h_ln),
+            "wo": _absmax_channels(attn_raw),
+            "up": _absmax_channels(mlp_in),
+            "down": _absmax_channels(inner),
+        }
+        return out, cache, stats
+    return out, cache, None
 
 
 def forward(
@@ -169,7 +206,9 @@ def forward(
     cfg: ModelConfig,
     kv_start: Optional[jax.Array] = None,  # [B] — first real slot per row,
                                    # for left-padded batched prompts
-) -> Tuple[jax.Array, KVCache]:
+    collect_stats: bool = False,   # also return per-linear-group input
+                                   # channel absmax (calibration pipeline)
+):
     """Run the decoder on a token chunk starting at cache.length.
 
     Returns (logits [B, T, V] f32, updated cache with length advanced by T).
@@ -189,18 +228,26 @@ def forward(
     rot = cfg.rotary_dim or cfg.head_dim_
     cos, sin = rope_cos_sin(rope_pos, rot, cfg.rope_theta)
 
+    all_stats = {}
     for i, bp in enumerate(params.blocks):
-        x, cache = block_forward(
-            x, bp, cache, i, q_slot, cos, sin, specs, cfg, kv_start=kv_start
+        x, cache, stats = block_forward(
+            x, bp, cache, i, q_slot, cos, sin, specs, cfg, kv_start=kv_start,
+            collect_stats=collect_stats,
         )
+        if collect_stats:
+            for k_, v_ in stats.items():
+                all_stats[f"{i}.{k_}"] = v_
     cache = cache.advance(T)
 
     x = _norm(x, params.lnf_scale, params.lnf_bias, cfg)
     head = params.lm_head if params.lm_head is not None else params.embed.T
+    hdt = jnp.dtype(specs.wqkv.out_dtype)   # fp32 for exact-parity testing
     logits = jnp.dot(
-        x.astype(jnp.bfloat16), head.astype(jnp.bfloat16),
+        x.astype(hdt), head.astype(hdt),
         preferred_element_type=jnp.float32,
     )
+    if collect_stats:
+        return logits, cache, all_stats
     return logits, cache
 
 
@@ -226,9 +273,11 @@ def init_decoder_params(
     blocks = []
     use_ln_bias = cfg.layernorm == "layernorm"
     for i in range(cfg.num_hidden_layers):
-        ks = jax.random.split(keys[i], 5)
+        ks = jax.random.split(keys[i], 7)
         attn = AttnParams(
-            wqkv=lin(ks[0], H, (n_q + 2 * n_kv) * hd, specs.wqkv),
+            wq=lin(ks[0], H, n_q * hd, specs.wqkv),
+            wk=lin(ks[5], H, n_kv * hd, specs.wqkv),
+            wv=lin(ks[6], H, n_kv * hd, specs.wqkv),
             wo=lin(ks[1], n_q * hd, H, specs.wo),
         )
         mlp = MLPParams(

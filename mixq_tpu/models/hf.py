@@ -1,0 +1,446 @@
+"""HuggingFace checkpoint ingestion: config mapping + weight conversion.
+
+TPU-native replacement for the reference's accelerate-based loading stack
+(models/base.py:122-156 from_pretrained, :161-229 from_quantized) and the
+per-model *Fuser classes (models/llama.py:73-166 _fuse_qkv etc.): instead of
+mutating an HF torch model in place, we read the HF state dict once and emit
+a clean DecoderParams pytree — q/k/v fused into one wqkv at conversion time
+(the reference fuses post-hoc by concatenating quantized weights+scales).
+
+Weights can come from a live `transformers` model (tests) or from safetensors
+shards on disk (no torch model materialization — streamed per tensor).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mixq_tpu.config import ModelConfig
+from mixq_tpu.models.decoder import (
+    AttnParams, BlockParams, DecoderParams, DecoderSpecs, MLPParams,
+)
+from mixq_tpu.ops import quant as Q
+from mixq_tpu.ops.mixed_linear import LinearSpec, from_float
+
+
+# ---------------------------------------------------------------------------
+# Config mapping
+# ---------------------------------------------------------------------------
+
+def config_from_hf(hf: Dict) -> ModelConfig:
+    """Map an HF config dict to ModelConfig. Covers the reference's registry
+    (models/auto.py:6-15: llama, baichuan, aquila, gptj, falcon, opt) plus
+    the north-star additions (llama-3, qwen2, mistral, chatglm)."""
+    mt = hf.get("model_type", "llama")
+    common = dict(
+        model_type=mt,
+        vocab_size=hf.get("vocab_size", 32000),
+        hidden_size=hf.get("hidden_size", hf.get("n_embd", 4096)),
+        num_hidden_layers=hf.get("num_hidden_layers", hf.get("n_layer", 32)),
+        num_attention_heads=hf.get("num_attention_heads", hf.get("n_head", 32)),
+        max_position_embeddings=hf.get(
+            "max_position_embeddings", hf.get("n_positions", 4096)),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+    if mt in ("llama", "aquila", "baichuan", "mistral", "qwen2"):
+        return ModelConfig(
+            **common,
+            intermediate_size=hf["intermediate_size"],
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", common["num_attention_heads"]),
+            head_dim=hf.get("head_dim"),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            hidden_act=hf.get("hidden_act", "silu"),
+            attention_bias=(mt == "qwen2") or hf.get("attention_bias", False),
+            sliding_window=(hf.get("sliding_window")
+                            if hf.get("use_sliding_window", mt == "mistral")
+                            else None),
+        )
+    if mt == "falcon":
+        n_head = common["num_attention_heads"]
+        return ModelConfig(
+            **common,
+            intermediate_size=hf.get("ffn_hidden_size", 4 * common["hidden_size"]),
+            num_key_value_heads=(hf.get("num_kv_heads", n_head)
+                                 if hf.get("new_decoder_architecture", False)
+                                 else (1 if hf.get("multi_query", True) else n_head)),
+            rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            hidden_act="gelu",
+            layernorm="layernorm",
+            parallel_attn_mlp=hf.get("parallel_attn", True),
+        )
+    if mt == "gptj":
+        return ModelConfig(
+            **common,
+            intermediate_size=hf.get("n_inner") or 4 * common["hidden_size"],
+            num_key_value_heads=common["num_attention_heads"],
+            rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            hidden_act="gelu",
+            layernorm="layernorm",
+            parallel_attn_mlp=True,
+            rope_style="gptj",
+            rotary_dim=hf.get("rotary_dim", 64),
+        )
+    if mt == "opt":
+        return ModelConfig(
+            **common,
+            hidden_size=hf.get("hidden_size", hf.get("word_embed_proj_dim", 768)),
+            intermediate_size=hf.get("ffn_dim", 4 * common["hidden_size"]),
+            num_key_value_heads=common["num_attention_heads"],
+            hidden_act="gelu" if hf.get("activation_function", "relu")
+            in ("gelu", "gelu_new") else "relu",
+            layernorm="layernorm",
+        )
+    if mt == "chatglm":
+        return ModelConfig(
+            **common,
+            vocab_size=hf.get("padded_vocab_size", hf.get("vocab_size", 65024)),
+            intermediate_size=hf["ffn_hidden_size"],
+            num_key_value_heads=hf.get(
+                "multi_query_group_num", common["num_attention_heads"])
+            if hf.get("multi_query_attention", False)
+            else common["num_attention_heads"],
+            rms_norm_eps=hf.get("layernorm_epsilon", 1e-5),
+            hidden_act="silu",  # swiglu
+            rope_style="gptj",
+            rotary_dim=(hf.get("kv_channels", 128)) // 2,
+            rope_theta=10000.0 * hf.get("rope_ratio", 1.0),
+            tie_word_embeddings=False,
+        )
+    raise ValueError(f"unsupported model_type: {mt}")
+
+
+# ---------------------------------------------------------------------------
+# State-dict access + name schemes
+# ---------------------------------------------------------------------------
+
+class TensorSource:
+    """Uniform tensor access over a dict of numpy arrays or lazy getters."""
+
+    def __init__(self, get: Callable[[str], np.ndarray], has: Callable[[str], bool]):
+        self.get = get
+        self.has = has
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, np.ndarray]) -> "TensorSource":
+        return cls(lambda k: d[k], lambda k: k in d)
+
+    @classmethod
+    def from_torch_state_dict(cls, sd) -> "TensorSource":
+        def get(k):
+            t = sd[k]
+            return t.detach().to("cpu").float().numpy()
+        return cls(get, lambda k: k in sd)
+
+    @classmethod
+    def from_safetensors_dir(cls, path: str) -> "TensorSource":
+        from safetensors import safe_open
+
+        index_file = os.path.join(path, "model.safetensors.index.json")
+        shard_of: Dict[str, str] = {}
+        if os.path.exists(index_file):
+            with open(index_file) as f:
+                shard_of = json.load(f)["weight_map"]
+        else:
+            single = os.path.join(path, "model.safetensors")
+            if os.path.exists(single):
+                with safe_open(single, framework="np") as f:
+                    for k in f.keys():
+                        shard_of[k] = "model.safetensors"
+            else:
+                raise FileNotFoundError(f"no safetensors found in {path}")
+        handles: Dict[str, object] = {}
+
+        def get(k):
+            shard = shard_of[k]
+            if shard not in handles:
+                handles[shard] = safe_open(
+                    os.path.join(path, shard), framework="np")
+            t = handles[shard].get_tensor(k)
+            if t.dtype == np.uint16:  # bfloat16 comes out as uint16 via np
+                t = t.view(np.uint16).astype(np.uint32) << 16
+                t = t.view(np.float32)
+            return t
+        return cls(get, lambda k: k in shard_of)
+
+
+def _bf16_or(src_arr: np.ndarray, dtype) -> jnp.ndarray:
+    if src_arr.dtype == np.dtype("V2"):  # raw bfloat16 from safetensors
+        src_arr = src_arr.view(np.uint16).astype(np.uint32) << 16
+        src_arr = src_arr.view(np.float32)
+    return jnp.asarray(src_arr, dtype)
+
+
+# name templates per family: (embed, ln1, q, k, v, qkv_fused, o, gate, up,
+# down, ln2, lnf, lm_head). None = absent.
+_SCHEMES: Dict[str, Dict[str, Optional[str]]] = {
+    "llama": dict(
+        embed="model.embed_tokens.weight",
+        ln1="model.layers.{i}.input_layernorm.weight",
+        q="model.layers.{i}.self_attn.q_proj",
+        k="model.layers.{i}.self_attn.k_proj",
+        v="model.layers.{i}.self_attn.v_proj",
+        qkv=None,
+        o="model.layers.{i}.self_attn.o_proj",
+        gate="model.layers.{i}.mlp.gate_proj",
+        up="model.layers.{i}.mlp.up_proj",
+        down="model.layers.{i}.mlp.down_proj",
+        ln2="model.layers.{i}.post_attention_layernorm.weight",
+        lnf="model.norm.weight",
+        lm_head="lm_head.weight",
+    ),
+    "baichuan": dict(
+        embed="model.embed_tokens.weight",
+        ln1="model.layers.{i}.input_layernorm.weight",
+        q=None, k=None, v=None,
+        qkv="model.layers.{i}.self_attn.W_pack",
+        o="model.layers.{i}.self_attn.o_proj",
+        gate="model.layers.{i}.mlp.gate_proj",
+        up="model.layers.{i}.mlp.up_proj",
+        down="model.layers.{i}.mlp.down_proj",
+        ln2="model.layers.{i}.post_attention_layernorm.weight",
+        lnf="model.norm.weight",
+        lm_head="lm_head.weight",
+    ),
+    "falcon": dict(
+        embed="transformer.word_embeddings.weight",
+        ln1="transformer.h.{i}.input_layernorm.weight",
+        ln1_bias="transformer.h.{i}.input_layernorm.bias",
+        q=None, k=None, v=None,
+        qkv="transformer.h.{i}.self_attention.query_key_value",
+        o="transformer.h.{i}.self_attention.dense",
+        gate=None,
+        up="transformer.h.{i}.mlp.dense_h_to_4h",
+        down="transformer.h.{i}.mlp.dense_4h_to_h",
+        ln2=None,
+        lnf="transformer.ln_f.weight",
+        lnf_bias="transformer.ln_f.bias",
+        lm_head="lm_head.weight",
+    ),
+    "gptj": dict(
+        embed="transformer.wte.weight",
+        ln1="transformer.h.{i}.ln_1.weight",
+        ln1_bias="transformer.h.{i}.ln_1.bias",
+        q="transformer.h.{i}.attn.q_proj",
+        k="transformer.h.{i}.attn.k_proj",
+        v="transformer.h.{i}.attn.v_proj",
+        qkv=None,
+        o="transformer.h.{i}.attn.out_proj",
+        gate=None,
+        up="transformer.h.{i}.mlp.fc_in",
+        down="transformer.h.{i}.mlp.fc_out",
+        ln2=None,
+        lnf="transformer.ln_f.weight",
+        lnf_bias="transformer.ln_f.bias",
+        lm_head="lm_head.weight",
+    ),
+    "chatglm": dict(
+        embed="transformer.embedding.word_embeddings.weight",
+        ln1="transformer.encoder.layers.{i}.input_layernorm.weight",
+        q=None, k=None, v=None,
+        qkv="transformer.encoder.layers.{i}.self_attention.query_key_value",
+        o="transformer.encoder.layers.{i}.self_attention.dense",
+        gate=None,               # chatglm packs gate|up into one tensor
+        up="transformer.encoder.layers.{i}.mlp.dense_h_to_4h",
+        down="transformer.encoder.layers.{i}.mlp.dense_4h_to_h",
+        ln2="transformer.encoder.layers.{i}.post_attention_layernorm.weight",
+        lnf="transformer.encoder.final_layernorm.weight",
+        lm_head="transformer.output_layer.weight",
+    ),
+}
+_SCHEMES["aquila"] = _SCHEMES["llama"]
+_SCHEMES["mistral"] = _SCHEMES["llama"]
+_SCHEMES["qwen2"] = _SCHEMES["llama"]
+
+
+def scheme_for(model_type: str) -> Dict[str, Optional[str]]:
+    if model_type not in _SCHEMES:
+        raise ValueError(f"no weight scheme for model_type {model_type}")
+    return _SCHEMES[model_type]
+
+
+# ---------------------------------------------------------------------------
+# Conversion
+# ---------------------------------------------------------------------------
+
+def _linear_from_src(
+    src: TensorSource,
+    prefix: str,
+    spec: LinearSpec,
+    oset: Optional[Q.OutlierSet],
+    transpose: bool = True,
+    store_dtype=jnp.bfloat16,
+) -> "object":
+    w = src.get(prefix + ".weight")
+    w = np.asarray(w, np.float32)
+    if transpose:
+        w = w.T                     # HF Linear stores [N, K]; we want [K, N]
+    bias = None
+    if src.has(prefix + ".bias"):
+        bias = np.asarray(src.get(prefix + ".bias"), np.float32)
+    return from_float(jnp.asarray(w), spec, bias=None if bias is None
+                      else jnp.asarray(bias), outlier_set=oset,
+                      store_dtype=store_dtype)
+
+
+def _qkv_from_src(
+    src: TensorSource,
+    scheme: Dict[str, Optional[str]],
+    i: int,
+    cfg: ModelConfig,
+    spec: LinearSpec,
+    oset: Optional[Q.OutlierSet],
+    store_dtype=jnp.bfloat16,
+):
+    """Build (wq, wk, wv) MixLinearParams sharing one outlier set.
+
+    Sources that store a fused qkv tensor (baichuan W_pack, falcon/chatglm
+    query_key_value) are split at conversion time — the inverse of the
+    reference's post-quant concat (llama.py:98-166); our runtime keeps q/k/v
+    separate for head-aligned TP sharding and shares the quantized input."""
+    H = cfg.hidden_size
+    n_q, n_kv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim_)
+
+    def build(w_nk, bias):
+        return from_float(
+            jnp.asarray(w_nk.T), spec,
+            bias=None if bias is None else jnp.asarray(bias),
+            outlier_set=oset, store_dtype=store_dtype,
+        )
+
+    if scheme.get("qkv"):
+        prefix = scheme["qkv"].format(i=i)
+        w = np.asarray(src.get(prefix + ".weight"), np.float32)
+        bias = (np.asarray(src.get(prefix + ".bias"), np.float32)
+                if src.has(prefix + ".bias") else None)
+        if cfg.model_type == "falcon" and n_kv < n_q:
+            # falcon interleaves per kv-group: [(q_0..q_g k v) x n_kv]
+            g = n_q // n_kv
+            w = w.reshape(n_kv, g + 2, hd, H)
+            wq = w[:, :g].reshape(n_q * hd, H)
+            wk = w[:, g].reshape(n_kv * hd, H)
+            wv = w[:, g + 1].reshape(n_kv * hd, H)
+            bq = bk = bv = None
+            if bias is not None:
+                b = bias.reshape(n_kv, g + 2, hd)
+                bq = b[:, :g].reshape(-1)
+                bk = b[:, g].reshape(-1)
+                bv = b[:, g + 1].reshape(-1)
+        else:
+            splits = [n_q * hd, n_q * hd + n_kv * hd]
+            wq, wk, wv = np.split(w, splits, axis=0)
+            bq = bk = bv = None
+            if bias is not None:
+                bq, bk, bv = np.split(bias, splits, axis=0)
+        return build(wq, bq), build(wk, bk), build(wv, bv)
+
+    out = []
+    for name in ("q", "k", "v"):
+        prefix = scheme[name].format(i=i)
+        w = np.asarray(src.get(prefix + ".weight"), np.float32)
+        bias = (np.asarray(src.get(prefix + ".bias"), np.float32)
+                if src.has(prefix + ".bias") else None)
+        out.append(build(w, bias))
+    return tuple(out)
+
+
+def params_from_source(
+    src: TensorSource,
+    cfg: ModelConfig,
+    specs: DecoderSpecs,
+    outlier_sets: Optional[Dict[str, Q.OutlierSet]] = None,
+    store_dtype=jnp.bfloat16,
+) -> DecoderParams:
+    """Convert an HF state dict into DecoderParams, quantizing per `specs`.
+
+    outlier_sets: optional per-layer outlier sets keyed "{i}.wqkv", "{i}.wo",
+    "{i}.up" (shared by gate), "{i}.down" — produced by the calibration
+    pipeline (mixq_tpu/quantize)."""
+    scheme = scheme_for(cfg.model_type)
+    osets = outlier_sets or {}
+    L = cfg.num_hidden_layers
+
+    def get_vec(key_t: Optional[str], i: Optional[int] = None):
+        if not key_t:
+            return None
+        name = key_t.format(i=i) if i is not None else key_t
+        if not src.has(name):
+            return None
+        return jnp.asarray(np.asarray(src.get(name), np.float32))
+
+    blocks = []
+    for i in range(L):
+        wq, wk, wv = _qkv_from_src(src, scheme, i, cfg, specs.wqkv,
+                                   osets.get(f"{i}.wqkv"), store_dtype)
+        wo = _linear_from_src(src, scheme["o"].format(i=i), specs.wo,
+                              osets.get(f"{i}.wo"), store_dtype=store_dtype)
+        up_oset = osets.get(f"{i}.up")
+        if cfg.model_type == "chatglm":
+            # dense_h_to_4h packs [gate; up] along out dim
+            w = np.asarray(src.get(scheme["up"].format(i=i) + ".weight"),
+                           np.float32)
+            I = cfg.intermediate_size
+            gate_w, up_w = w[:I].T, w[I:].T
+            gate = from_float(jnp.asarray(gate_w), specs.gate,
+                              outlier_set=up_oset, store_dtype=store_dtype)
+            up = from_float(jnp.asarray(up_w), specs.up, outlier_set=up_oset,
+                            store_dtype=store_dtype)
+        elif scheme.get("gate"):
+            gate = _linear_from_src(src, scheme["gate"].format(i=i),
+                                    specs.gate, up_oset, store_dtype=store_dtype)
+            up = _linear_from_src(src, scheme["up"].format(i=i), specs.up,
+                                  up_oset, store_dtype=store_dtype)
+        else:
+            gate = None
+            up = _linear_from_src(src, scheme["up"].format(i=i), specs.up,
+                                  up_oset, store_dtype=store_dtype)
+        down = _linear_from_src(src, scheme["down"].format(i=i), specs.down,
+                                osets.get(f"{i}.down"), store_dtype=store_dtype)
+
+        blocks.append(BlockParams(
+            ln1_scale=get_vec(scheme["ln1"], i),
+            ln1_bias=get_vec(scheme.get("ln1_bias"), i),
+            attn=AttnParams(wq=wq, wk=wk, wv=wv, wo=wo),
+            ln2_scale=get_vec(scheme.get("ln2"), i),
+            ln2_bias=get_vec(scheme.get("ln2_bias"), i),
+            mlp=MLPParams(up=up, gate=gate, down=down),
+        ))
+
+    embed = jnp.asarray(np.asarray(src.get(scheme["embed"]), np.float32),
+                        store_dtype)
+    lm_head = None
+    if not cfg.tie_word_embeddings and src.has(scheme["lm_head"]):
+        lm_head = jnp.asarray(
+            np.asarray(src.get(scheme["lm_head"]), np.float32).T, store_dtype)
+
+    return DecoderParams(
+        embed=embed,
+        blocks=tuple(blocks),
+        lnf_scale=get_vec(scheme["lnf"]),
+        lnf_bias=get_vec(scheme.get("lnf_bias")),
+        lm_head=lm_head,
+    )
+
+
+def load_hf_config(path: str) -> ModelConfig:
+    with open(os.path.join(path, "config.json")) as f:
+        return config_from_hf(json.load(f))
+
+
+def load_model(
+    path: str,
+    specs: Optional[DecoderSpecs] = None,
+    outlier_sets: Optional[Dict[str, Q.OutlierSet]] = None,
+) -> Tuple[DecoderParams, ModelConfig]:
+    """Load (and optionally quantize on the fly) an HF checkpoint directory."""
+    cfg = load_hf_config(path)
+    specs = specs or DecoderSpecs.fp16()
+    src = TensorSource.from_safetensors_dir(path)
+    return params_from_source(src, cfg, specs, outlier_sets), cfg

@@ -1,0 +1,25 @@
+from mixq_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    initialize_distributed,
+    make_mesh,
+    multihost_mesh,
+)
+from mixq_tpu.parallel.sharding import (
+    decoder_pspecs,
+    kv_cache_pspecs,
+    shard_decoder_params,
+    shard_kv_cache,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "multihost_mesh",
+    "initialize_distributed",
+    "decoder_pspecs",
+    "kv_cache_pspecs",
+    "shard_decoder_params",
+    "shard_kv_cache",
+]

@@ -1,0 +1,73 @@
+"""Device-mesh construction for single-host and multi-host runs.
+
+The reference has no distributed layer at all (WORLD_SIZE=1 forced in every
+driver, benchflops.py:6; multi-GPU delegated to external TRT-LLM/vLLM —
+SURVEY.md §2.9). Here the mesh IS the parallelism config: a single
+jax.sharding.Mesh with a 'data' axis (DP, over DCN for multi-host) and a
+'model' axis (TP, over ICI), consumed by the sharding rules in
+mixq_tpu/parallel/sharding.py. GSPMD inserts the collectives.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh. Default: all devices on the model (TP)
+    axis — the right choice for single-host serving of a big model."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (1, n)
+    assert shape[0] * shape[1] == n, f"mesh {shape} != {n} devices"
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axes)
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: one JAX process per host
+    (jax.distributed.initialize). On TPU pods the arguments are inferred from
+    the environment; explicit args support manual/CPU testing."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def multihost_mesh(
+    tp_size: Optional[int] = None,
+    axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """Mesh spanning all processes: TP ('model') inside a host slice over
+    ICI, DP ('data') across host groups (DCN). tp_size defaults to the
+    local device count so TP traffic never crosses DCN."""
+    n_total = jax.device_count()
+    tp = tp_size or jax.local_device_count()
+    assert n_total % tp == 0
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, tp), (n_total // tp, 1))
+    except Exception:
+        arr = np.asarray(jax.devices()).reshape(n_total // tp, tp)
+    return Mesh(arr, axes)

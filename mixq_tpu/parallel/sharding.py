@@ -1,0 +1,133 @@
+"""Sharding rules: PartitionSpecs for the quantized param pytree + KV cache.
+
+The TP layout follows the standard Megatron-style split, expressed as GSPMD
+shardings (SURVEY.md §2.8 + §7.4):
+  - wqkv / up / gate : column-parallel  — weight [K, N] -> P(None, 'model')
+  - wo / down        : row-parallel     — weight [K, N] -> P('model', None),
+                       XLA inserts the psum after the contraction
+  - per-out-channel scales/bias/outlier weights follow their weight's N axis
+  - row-parallel k-side metadata (k_mask over the contraction dim) follows K
+  - KV cache          : batch on 'data', kv heads on 'model'
+  - activations       : batch on 'data', hidden replicated (Zero-3-style
+                        activation sharding is a non-goal for inference)
+
+Outlier bookkeeping under TP (SURVEY.md §7 "hard parts"): for column-parallel
+layers the outlier channels live in the *replicated* K dim, so out_ind/k_mask
+replicate and the fp outlier GEMM shards over N like the int GEMM. For
+row-parallel layers K is sharded; we keep indices global + replicated and let
+GSPMD partition the gather — correct everywhere, and the fp16 outlier GEMM
+[M,B]x[B,N] is tiny relative to the int GEMM.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mixq_tpu.models.decoder import (
+    AttnParams, BlockParams, DecoderParams, MLPParams,
+)
+from mixq_tpu.models.layers import KVCache
+from mixq_tpu.ops.mixed_linear import MixLinearParams
+from mixq_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _maybe(x, spec):
+    """Spec for an optional field: None passes through (empty pytree)."""
+    return None if x is None else spec
+
+
+def linear_pspecs(
+    p: MixLinearParams, col_parallel: bool
+) -> MixLinearParams:
+    """PartitionSpec pytree for one quantized linear ([K, N] layout)."""
+    m = MODEL_AXIS
+    if col_parallel:
+        w = P(None, m)
+        n_axis = P(m)
+        k_axis = P(None)
+    else:
+        w = P(m, None)
+        n_axis = P(None)
+        k_axis = P(m)
+    return MixLinearParams(
+        q_weight=w,
+        w_scale=n_axis,
+        w_outlier=_maybe(p.w_outlier, P(None, m) if col_parallel else P(None, None)),
+        out_ind=_maybe(p.out_ind, P(None)),
+        out_mask=_maybe(p.out_mask, P(None)),
+        k_mask=_maybe(p.k_mask, k_axis),
+        out_count=_maybe(p.out_count, P()),
+        bias=_maybe(p.bias, n_axis),
+        reduced_w=_maybe(p.reduced_w, n_axis),
+    )
+
+
+def decoder_pspecs(params: DecoderParams) -> DecoderParams:
+    """PartitionSpec pytree mirroring a DecoderParams instance."""
+    blocks = []
+    for bp in params.blocks:
+        blocks.append(BlockParams(
+            ln1_scale=P(None),
+            ln1_bias=_maybe(bp.ln1_bias, P(None)),
+            attn=AttnParams(
+                wq=linear_pspecs(bp.attn.wq, col_parallel=True),
+                wk=linear_pspecs(bp.attn.wk, col_parallel=True),
+                wv=linear_pspecs(bp.attn.wv, col_parallel=True),
+                wo=linear_pspecs(bp.attn.wo, col_parallel=False),
+            ),
+            ln2_scale=_maybe(bp.ln2_scale, P(None)),
+            ln2_bias=_maybe(bp.ln2_bias, P(None)),
+            mlp=MLPParams(
+                up=linear_pspecs(bp.mlp.up, col_parallel=True),
+                gate=(None if bp.mlp.gate is None
+                      else linear_pspecs(bp.mlp.gate, col_parallel=True)),
+                down=linear_pspecs(bp.mlp.down, col_parallel=False),
+            ),
+        ))
+    return DecoderParams(
+        embed=P(None, None),
+        blocks=tuple(blocks),
+        lnf_scale=P(None),
+        lnf_bias=_maybe(params.lnf_bias, P(None)),
+        lm_head=_maybe(params.lm_head, P(None, MODEL_AXIS)),
+    )
+
+
+def kv_cache_pspecs(shard_heads: bool = True) -> KVCache:
+    """KV cache [L, B, S, n_kv, hd]: batch on 'data', kv heads on 'model'.
+    For MQA (n_kv=1) set shard_heads=False (heads can't split; KV replicates
+    on the model axis)."""
+    head_axis = MODEL_AXIS if shard_heads else None
+    kv = P(None, DATA_AXIS, None, head_axis, None)
+    return KVCache(k=kv, v=kv, length=P())
+
+
+def shard_decoder_params(
+    params: DecoderParams, mesh: Mesh
+) -> DecoderParams:
+    """device_put the param pytree onto the mesh per the TP rules."""
+    pspecs = decoder_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pspecs,
+    )
+
+
+def shard_kv_cache(
+    cache: KVCache, mesh: Mesh, shard_heads: Optional[bool] = None
+) -> KVCache:
+    if shard_heads is None:  # auto: only if kv heads divide the model axis
+        n_kv = cache.k.shape[3]
+        tp = mesh.shape.get(MODEL_AXIS, 1)
+        shard_heads = n_kv % tp == 0
+    pspecs = kv_cache_pspecs(shard_heads)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        cache, pspecs,
+    )
+
+
+def batch_pspec() -> P:
+    return P(DATA_AXIS)

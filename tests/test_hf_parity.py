@@ -1,0 +1,144 @@
+"""Numerical parity of the functional decoder vs HuggingFace transformers
+(fp32, tiny random models). This is the ground-truth gate that the arch
+variants (GQA, rope styles, parallel blocks, qkv fusing) are implemented
+correctly — stronger than the reference's approach of reusing HF modules."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mixq_tpu.models import DecoderSpecs, KVCache
+from mixq_tpu.models.decoder import forward
+from mixq_tpu.models.hf import TensorSource, config_from_hf, params_from_source
+from mixq_tpu.ops.mixed_linear import LinearSpec
+
+FP32 = DecoderSpecs.uniform(LinearSpec(version="FP16", w_bit=16, out_dtype="float32"))
+
+_jfwd = jax.jit(forward, static_argnames=("specs", "cfg"))
+
+
+def run_parity(hf_model, hf_cfg_dict, tokens_np, atol=2e-3, specs=FP32):
+    hf_model = hf_model.eval().float()
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(tokens_np)).logits.numpy()
+
+    cfg = config_from_hf(hf_cfg_dict)
+    src = TensorSource.from_torch_state_dict(hf_model.state_dict())
+    params = params_from_source(src, cfg, specs, store_dtype=jnp.float32)
+    B, T = tokens_np.shape
+    cache = KVCache.create(cfg.num_hidden_layers, B, 32,
+                           cfg.num_key_value_heads, cfg.head_dim_, jnp.float32)
+    logits, _ = _jfwd(params, jnp.asarray(tokens_np), cache, specs=specs, cfg=cfg)
+    got = np.asarray(logits)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=atol)
+    return cfg, params
+
+
+def tiny_tokens(vocab, B=2, T=7, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, vocab, (B, T)).astype(np.int32)
+
+
+class TestLlamaFamily:
+    def test_llama_gqa(self):
+        from transformers import LlamaConfig, LlamaForCausalLM
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+            attention_bias=False, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        model = LlamaForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128))
+
+    def test_llama_tied_embeddings(self):
+        from transformers import LlamaConfig, LlamaForCausalLM
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+            tie_word_embeddings=True,
+        )
+        torch.manual_seed(1)
+        model = LlamaForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=1))
+
+    def test_qwen2(self):
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+        cfg = Qwen2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=64, tie_word_embeddings=False,
+        )
+        torch.manual_seed(2)
+        model = Qwen2ForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=2))
+
+    def test_mistral_sliding_window(self):
+        from transformers import MistralConfig, MistralForCausalLM
+        cfg = MistralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            sliding_window=4, max_position_embeddings=64,
+        )
+        torch.manual_seed(3)
+        model = MistralForCausalLM(cfg)
+        # T > window so the sliding mask actually bites
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, T=9, seed=3))
+
+
+class TestFalcon:
+    def test_falcon_mqa_parallel(self):
+        from transformers import FalconConfig, FalconForCausalLM
+        cfg = FalconConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, multi_query=True, parallel_attn=True,
+            bias=False, new_decoder_architecture=False, alibi=False,
+        )
+        torch.manual_seed(4)
+        model = FalconForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=4))
+
+
+class TestGPTJ:
+    def test_gptj(self):
+        from transformers import GPTJConfig, GPTJForCausalLM
+        cfg = GPTJConfig(
+            vocab_size=128, n_embd=64, n_layer=2, n_head=4, rotary_dim=8,
+            n_positions=64,
+        )
+        torch.manual_seed(5)
+        model = GPTJForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=5), atol=5e-3)
+
+
+class TestQuantizedParity:
+    def test_w8a8_llama_close(self):
+        """Quantized conversion of a real HF checkpoint stays close to the fp
+        logits (the PPL gate in miniature)."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        )
+        torch.manual_seed(6)
+        model = LlamaForCausalLM(cfg).eval().float()
+        tokens_np = tiny_tokens(128, seed=6)
+        with torch.no_grad():
+            ref = model(torch.tensor(tokens_np)).logits.numpy()
+
+        mcfg = config_from_hf(cfg.to_dict())
+        src = TensorSource.from_torch_state_dict(model.state_dict())
+        specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+        params = params_from_source(src, mcfg, specs)
+        cache = KVCache.create(mcfg.num_hidden_layers, 2, 32,
+                               mcfg.num_key_value_heads, mcfg.head_dim_,
+                               jnp.float32)
+        logits, _ = _jfwd(params, jnp.asarray(tokens_np), cache,
+                          specs=specs, cfg=mcfg)
+        # int8 + bf16: compare softmax total variation, not raw logits
+        p_ref = torch.softmax(torch.tensor(ref[:, -1]), dim=-1).numpy()
+        p_got = np.asarray(jax.nn.softmax(logits[:, -1], axis=-1))
+        tv = 0.5 * np.abs(p_ref - p_got).sum(-1).max()
+        assert tv < 0.1, f"total variation {tv}"
