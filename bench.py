@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from mixq_tpu.config import ModelConfig
 from mixq_tpu.models import DecoderSpecs, KVCache
-from mixq_tpu.models.decoder import forward, init_decoder_params
+from mixq_tpu.models.decoder import forward, init_decoder_params, stack_decoder_params
 from mixq_tpu.ops.mixed_linear import LinearSpec
 
 BASELINE_TOKENS_PER_S = 10609.8     # reference README.md:69-76
@@ -46,9 +46,10 @@ def tiny_cfg(n_layers: int) -> ModelConfig:
 
 def main():
     preset = os.environ.get("BENCH_PRESET", "7b")
-    B = int(os.environ.get("BENCH_BATCH", "128"))
+    B = int(os.environ.get("BENCH_BATCH", "256"))
     S = int(os.environ.get("BENCH_SEQ", "32"))
     steps = int(os.environ.get("BENCH_DECODE_STEPS", "32"))
+    kv_dtype = jnp.dtype(os.environ.get("BENCH_KV", "int8"))
     n_layers = int(os.environ.get("BENCH_LAYERS", "32" if preset == "7b" else "2"))
 
     cfg = llama2_7b_cfg(n_layers) if preset == "7b" else tiny_cfg(n_layers)
@@ -57,13 +58,14 @@ def main():
     t0 = time.time()
     params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,
                                  dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_SCAN", "0") == "1":
+        params = stack_decoder_params(params)   # scan path: fast compile
     params = jax.device_put(params)
     jax.block_until_ready(params)
     print(f"init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
 
     cache = KVCache.create(cfg.num_hidden_layers, B, S,
-                           cfg.num_key_value_heads, cfg.head_dim_,
-                           jnp.bfloat16)
+                           cfg.num_key_value_heads, cfg.head_dim_, kv_dtype)
 
     import functools
 

@@ -71,6 +71,31 @@ class DecoderParams(NamedTuple):
     lnf_scale: jax.Array
     lnf_bias: Optional[jax.Array]
     lm_head: Optional[jax.Array]   # [H, V] fp; None = tied to embed
+    # runtime-only: blocks stacked with a leading layer axis, consumed by a
+    # lax.scan over layers (one compiled block body instead of L inlined
+    # copies — 32x smaller XLA graph for Llama-2-7B). Built via
+    # stack_decoder_params(); mutually exclusive with `blocks`.
+    stacked: Optional[BlockParams] = None
+
+
+def stack_decoder_params(params: DecoderParams) -> DecoderParams:
+    """Stack the per-layer block pytrees along a new leading axis for the
+    scan-based forward. Requires structurally uniform blocks (same spec per
+    layer — true for every model family here)."""
+    if params.stacked is not None:
+        return params
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params.blocks)
+    return params._replace(blocks=(), stacked=stacked)
+
+
+def unstack_decoder_params(params: DecoderParams) -> DecoderParams:
+    """Inverse of stack_decoder_params (for promotion/checkpointing)."""
+    if params.stacked is None:
+        return params
+    L = jax.tree_util.tree_leaves(params.stacked)[0].shape[0]
+    blocks = tuple(
+        jax.tree.map(lambda x: x[i], params.stacked) for i in range(L))
+    return params._replace(blocks=blocks, stacked=None)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,19 +155,30 @@ def _mlp(h: jax.Array, mlp: MLPParams, specs: DecoderSpecs, cfg: ModelConfig):
     return mixed_linear(mlp.down, inner, specs.down), inner
 
 
-def block_forward(
+def _quantize_kv(x: jax.Array):
+    """Per-(token, head) absmax int8 quant for KV writes."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def block_core(
     x: jax.Array,                  # [B, T, H]
     bp: BlockParams,
-    cache: KVCache,
-    layer: int,
-    q_slot: jax.Array,             # [T] cache-slot indices
+    kv_apply,                      # (q[B,T,nq,hd], k, v) -> attn out [B,T,nq,hd]
+                                   # — strategy closure that writes k/v into
+                                   # the cache and runs attention over it
     cos: jax.Array,
     sin: jax.Array,
     specs: DecoderSpecs,
     cfg: ModelConfig,
-    kv_start: Optional[jax.Array] = None,  # [B]
     collect_stats: bool = False,
 ):
+    """One decoder block, KV-cache strategy injected. The python-loop runtime
+    updates the full [L, ...] cache arrays in place (XLA donation keeps this
+    copy-free); the lax.scan path works on per-layer slices."""
     B, T, H = x.shape
     n_q, n_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
@@ -166,13 +202,7 @@ def block_forward(
     q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rotary_dim)
     k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rotary_dim)
 
-    cache = cache.update_layer(layer, k, v)
-    kv_len = cache.length + T
-    attn_raw = attend(
-        q, cache.k[layer], cache.v[layer], q_slot, kv_len,
-        kv_start=kv_start, sliding_window=cfg.sliding_window,
-    )
-    attn_raw = attn_raw.reshape(B, T, n_q * hd)
+    attn_raw = kv_apply(q, k, v).reshape(B, T, n_q * hd)
     # o_proj quantizes its own input inline (the reference's unfused=True
     # call, attn.py:263 -> linear.py:187-195)
     attn_out = mixed_linear(bp.attn.wo, attn_raw, specs.wo)
@@ -187,6 +217,7 @@ def block_forward(
         mlp_out, inner = _mlp(mlp_in, bp.mlp, specs, cfg)
         out = x + mlp_out.astype(x.dtype)
 
+    stats = {}
     if collect_stats:
         stats = {
             "wqkv": _absmax_channels(h_ln),
@@ -194,8 +225,7 @@ def block_forward(
             "up": _absmax_channels(mlp_in),
             "down": _absmax_channels(inner),
         }
-        return out, cache, stats
-    return out, cache, None
+    return out, stats
 
 
 def forward(
@@ -229,14 +259,89 @@ def forward(
     cos, sin = rope_cos_sin(rope_pos, rot, cfg.rope_theta)
 
     all_stats = {}
-    for i, bp in enumerate(params.blocks):
-        x, cache, stats = block_forward(
-            x, bp, cache, i, q_slot, cos, sin, specs, cfg, kv_start=kv_start,
-            collect_stats=collect_stats,
+    quantized_kv = cache.quantized
+    T_ = T
+
+    def attend_over(q, k_c, v_c, ks_c, vs_c):
+        return attend(
+            q, k_c, v_c, q_slot, cache.length + T_,
+            kv_start=kv_start, sliding_window=cfg.sliding_window,
+            k_scale=ks_c, v_scale=vs_c)
+
+    if params.stacked is not None:
+        # scan over layers: one compiled block body (L-times smaller XLA
+        # graph). The KV cache rides in the CARRY; per-layer slices are
+        # gathered/scattered at the dynamic layer index. Compile-time win;
+        # the python loop below avoids the slice copies and is the fast
+        # steady-state runtime.
+        L = cache.k.shape[0]
+
+        def body(carry, xs):
+            h, k_all, v_all, ks_all, vs_all = carry
+            bp, i = xs["bp"], xs["i"]
+
+            def kv_apply(q, k, v):
+                nonlocal k_all, v_all, ks_all, vs_all
+                k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
+                v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
+                at4 = (0, cache.length, 0, 0)
+                if quantized_kv:
+                    ks_c = jax.lax.dynamic_index_in_dim(ks_all, i, 0, False)
+                    vs_c = jax.lax.dynamic_index_in_dim(vs_all, i, 0, False)
+                    qk, sk = _quantize_kv(k)
+                    qv, sv = _quantize_kv(v)
+                    k_c = jax.lax.dynamic_update_slice(k_c, qk, at4)
+                    v_c = jax.lax.dynamic_update_slice(v_c, qv, at4)
+                    ks_c = jax.lax.dynamic_update_slice(
+                        ks_c, sk, (0, cache.length, 0))
+                    vs_c = jax.lax.dynamic_update_slice(
+                        vs_c, sv, (0, cache.length, 0))
+                    ks_all = jax.lax.dynamic_update_index_in_dim(
+                        ks_all, ks_c, i, 0)
+                    vs_all = jax.lax.dynamic_update_index_in_dim(
+                        vs_all, vs_c, i, 0)
+                else:
+                    ks_c = vs_c = None
+                    k_c = jax.lax.dynamic_update_slice(
+                        k_c, k.astype(k_c.dtype), at4)
+                    v_c = jax.lax.dynamic_update_slice(
+                        v_c, v.astype(v_c.dtype), at4)
+                k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_c, i, 0)
+                v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_c, i, 0)
+                return attend_over(q, k_c, v_c, ks_c, vs_c)
+
+            h, stats = block_core(
+                h, bp, kv_apply, cos, sin, specs, cfg, collect_stats)
+            return (h, k_all, v_all, ks_all, vs_all), stats
+
+        carry0 = (x, cache.k, cache.v,
+                  cache.k_scale if quantized_kv else jnp.zeros((), jnp.int8),
+                  cache.v_scale if quantized_kv else jnp.zeros((), jnp.int8))
+        xs = {"bp": params.stacked, "i": jnp.arange(L, dtype=jnp.int32)}
+        (x, k_all, v_all, ks_all, vs_all), stats_stacked = jax.lax.scan(
+            body, carry0, xs)
+        cache = cache._replace(
+            k=k_all, v=v_all,
+            k_scale=ks_all if quantized_kv else cache.k_scale,
+            v_scale=vs_all if quantized_kv else cache.v_scale,
         )
         if collect_stats:
-            for k_, v_ in stats.items():
-                all_stats[f"{i}.{k_}"] = v_
+            for k_, v_ in stats_stacked.items():
+                for i in range(L):
+                    all_stats[f"{i}.{k_}"] = v_[i]
+    else:
+        for i, bp in enumerate(params.blocks):
+            def kv_apply(q, k, v, i=i):
+                nonlocal cache
+                cache = cache.update_layer(i, k, v)  # full-array in-place DUS
+                k_c, v_c, ks_c, vs_c = cache.layer_kv(i)
+                return attend_over(q, k_c, v_c, ks_c, vs_c)
+
+            x, stats = block_core(
+                x, bp, kv_apply, cos, sin, specs, cfg, collect_stats)
+            if collect_stats:
+                for k_, v_ in stats.items():
+                    all_stats[f"{i}.{k_}"] = v_
     cache = cache.advance(T)
 
     x = _norm(x, params.lnf_scale, params.lnf_bias, cfg)

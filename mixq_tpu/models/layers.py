@@ -129,18 +129,30 @@ class KVCache(NamedTuple):
     design (fused/cache.py:3-38) done properly: preallocated
     [L, B, S_max, n_kv, hd], updated in place via dynamic_update_slice and
     donated across decode steps (no HF dynamic Cache reallocation).
+
+    Supports int8 storage with per-(token, head) absmax scales: decode is
+    HBM-bandwidth-bound and the KV read is a large share of the bytes, so
+    int8 KV halves that traffic (and doubles the batch that fits). The
+    reference keeps KV fp16 (attn.py:242-244); int8-KV is a TPU-side win the
+    A100 baseline doesn't have.
     """
 
-    k: jax.Array               # [L, B, S, n_kv, hd]
+    k: jax.Array               # [L, B, S, n_kv, hd] bf16 | int8
     v: jax.Array               # [L, B, S, n_kv, hd]
+    k_scale: Optional[jax.Array]   # [L, B, S, n_kv] f32 (int8 only)
+    v_scale: Optional[jax.Array]
     length: jax.Array          # [] int32 — valid prefix length
 
     @classmethod
     def create(cls, n_layers, batch, max_seq, n_kv, head_dim, dtype=jnp.bfloat16):
+        dtype = jnp.dtype(dtype)
         shape = (n_layers, batch, max_seq, n_kv, head_dim)
+        quantized = dtype == jnp.int8
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
+            k_scale=jnp.ones(shape[:-1], jnp.float32) if quantized else None,
+            v_scale=jnp.ones(shape[:-1], jnp.float32) if quantized else None,
             length=jnp.zeros((), jnp.int32),
         )
 
@@ -148,11 +160,32 @@ class KVCache(NamedTuple):
     def max_seq(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
     def update_layer(
         self, layer: int, k_new: jax.Array, v_new: jax.Array
     ) -> "KVCache":
         """Write [B, T, n_kv, hd] at the current length offset for `layer`.
         Length advance happens once per step via `advance`."""
+        if self.quantized:
+            def q(x):
+                absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+                scale = jnp.maximum(absmax / 127.0, 1e-8)      # [B, T, n_kv]
+                qx = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                              -127, 127).astype(jnp.int8)
+                return qx, scale
+            qk, sk = q(k_new)
+            qv, sv = q(v_new)
+            at5 = (layer, 0, self.length, 0, 0)
+            at4 = (layer, 0, self.length, 0)
+            return self._replace(
+                k=jax.lax.dynamic_update_slice(self.k, qk[None], at5),
+                v=jax.lax.dynamic_update_slice(self.v, qv[None], at5),
+                k_scale=jax.lax.dynamic_update_slice(self.k_scale, sk[None], at4),
+                v_scale=jax.lax.dynamic_update_slice(self.v_scale, sv[None], at4),
+            )
         k = jax.lax.dynamic_update_slice(
             self.k, k_new[None].astype(self.k.dtype), (layer, 0, self.length, 0, 0)
         )
@@ -160,6 +193,13 @@ class KVCache(NamedTuple):
             self.v, v_new[None].astype(self.v.dtype), (layer, 0, self.length, 0, 0)
         )
         return self._replace(k=k, v=v)
+
+    def layer_kv(self, layer: int):
+        """(k, v, k_scale, v_scale) views for one layer."""
+        if self.quantized:
+            return (self.k[layer], self.v[layer],
+                    self.k_scale[layer], self.v_scale[layer])
+        return self.k[layer], self.v[layer], None, None
 
     def advance(self, t: int) -> "KVCache":
         return self._replace(length=self.length + t)
@@ -179,6 +219,8 @@ def attend(
                                # row (left-padded prompts); slots before it
                                # are masked out
     sliding_window: Optional[int] = None,
+    k_scale: Optional[jax.Array] = None,   # [B, S, n_kv] (int8 KV)
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Masked multi-head attention over a static-shape KV buffer.
 
@@ -193,12 +235,21 @@ def attend(
     groups = n_q // n_kv
     scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
 
-    qf = q.reshape(B, T, n_kv, groups, D).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # Operands stay in their storage dtype (int8 KV / bf16) with f32 MXU
+    # accumulation — converting the KV buffers to f32 would quadruple the
+    # HBM traffic that dominates decode.
+    qf = q.reshape(B, T, n_kv, groups, D)
 
-    # scores: [B, n_kv, groups, T, S]
-    scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf) * scale
+    # scores: [B, n_kv, groups, T, S]. For int8 KV, the per-(token, head)
+    # scales are applied AFTER the contraction (on the small scores/probs
+    # tensors), so the big KV buffers are read as int8 and never expanded
+    # to fp in HBM.
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qf.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        scores = scores * jnp.transpose(
+            k_scale, (0, 2, 1))[:, :, None, None, :]         # [B,h,1,1,S]
 
     kv_pos = jnp.arange(S, dtype=jnp.int32)
     causal = kv_pos[None, :] <= q_slot[:, None]              # [T, S]
@@ -211,5 +262,10 @@ def attend(
     scores = jnp.where(mask[:, None, None], scores, -1e30)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
+    if v_scale is not None:
+        probs = probs * jnp.transpose(
+            v_scale, (0, 2, 1))[:, :, None, None, :]
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", probs.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     return out.reshape(B, T, n_q, D).astype(q.dtype)

@@ -179,8 +179,17 @@ def detect_new_outliers(
     device-side; the steady-state forward never calls this.
     """
     k = x.shape[-1]
-    budget = oset.budget
     ch_max = jnp.max(jnp.abs(x.astype(jnp.float32)).reshape(-1, k), axis=0)
+    return detect_new_outliers_from_absmax(ch_max, oset, sigma)
+
+
+def detect_new_outliers_from_absmax(
+    ch_max: jax.Array, oset: OutlierSet, sigma: float
+) -> OutlierSet:
+    """Same as detect_new_outliers but from precomputed per-channel absmax
+    (the statistic the decoder's collect_stats forward already emits)."""
+    k = ch_max.shape[0]
+    budget = oset.budget
     is_new = (ch_max > sigma) & (oset.k_mask > 0.5)          # [K]
     # rank new channels by magnitude; take up to the remaining budget
     score = jnp.where(is_new, ch_max, -jnp.inf)

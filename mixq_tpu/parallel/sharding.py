@@ -64,44 +64,56 @@ def linear_pspecs(
     )
 
 
+def _block_pspecs(bp: BlockParams) -> BlockParams:
+    return BlockParams(
+        ln1_scale=P(None),
+        ln1_bias=_maybe(bp.ln1_bias, P(None)),
+        attn=AttnParams(
+            wq=linear_pspecs(bp.attn.wq, col_parallel=True),
+            wk=linear_pspecs(bp.attn.wk, col_parallel=True),
+            wv=linear_pspecs(bp.attn.wv, col_parallel=True),
+            wo=linear_pspecs(bp.attn.wo, col_parallel=False),
+        ),
+        ln2_scale=_maybe(bp.ln2_scale, P(None)),
+        ln2_bias=_maybe(bp.ln2_bias, P(None)),
+        mlp=MLPParams(
+            up=linear_pspecs(bp.mlp.up, col_parallel=True),
+            gate=(None if bp.mlp.gate is None
+                  else linear_pspecs(bp.mlp.gate, col_parallel=True)),
+            down=linear_pspecs(bp.mlp.down, col_parallel=False),
+        ),
+    )
+
+
 def decoder_pspecs(params: DecoderParams) -> DecoderParams:
-    """PartitionSpec pytree mirroring a DecoderParams instance."""
-    blocks = []
-    for bp in params.blocks:
-        blocks.append(BlockParams(
-            ln1_scale=P(None),
-            ln1_bias=_maybe(bp.ln1_bias, P(None)),
-            attn=AttnParams(
-                wq=linear_pspecs(bp.attn.wq, col_parallel=True),
-                wk=linear_pspecs(bp.attn.wk, col_parallel=True),
-                wv=linear_pspecs(bp.attn.wv, col_parallel=True),
-                wo=linear_pspecs(bp.attn.wo, col_parallel=False),
-            ),
-            ln2_scale=_maybe(bp.ln2_scale, P(None)),
-            ln2_bias=_maybe(bp.ln2_bias, P(None)),
-            mlp=MLPParams(
-                up=linear_pspecs(bp.mlp.up, col_parallel=True),
-                gate=(None if bp.mlp.gate is None
-                      else linear_pspecs(bp.mlp.gate, col_parallel=True)),
-                down=linear_pspecs(bp.mlp.down, col_parallel=False),
-            ),
-        ))
+    """PartitionSpec pytree mirroring a DecoderParams instance (loop or
+    stacked form; stacked leaves get an unsharded leading layer axis)."""
+    stacked_spec = None
+    if params.stacked is not None:
+        base = _block_pspecs(params.stacked)
+        stacked_spec = jax.tree.map(
+            lambda s: P(None, *s), base,
+            is_leaf=lambda x: isinstance(x, P))
+    blocks = [_block_pspecs(bp) for bp in params.blocks]
     return DecoderParams(
         embed=P(None, None),
         blocks=tuple(blocks),
         lnf_scale=P(None),
         lnf_bias=_maybe(params.lnf_bias, P(None)),
         lm_head=_maybe(params.lm_head, P(None, MODEL_AXIS)),
+        stacked=stacked_spec,
     )
 
 
-def kv_cache_pspecs(shard_heads: bool = True) -> KVCache:
+def kv_cache_pspecs(shard_heads: bool = True, quantized: bool = False) -> KVCache:
     """KV cache [L, B, S, n_kv, hd]: batch on 'data', kv heads on 'model'.
     For MQA (n_kv=1) set shard_heads=False (heads can't split; KV replicates
-    on the model axis)."""
+    on the model axis). int8-KV scale arrays [L, B, S, n_kv] follow the same
+    batch/head split."""
     head_axis = MODEL_AXIS if shard_heads else None
     kv = P(None, DATA_AXIS, None, head_axis, None)
-    return KVCache(k=kv, v=kv, length=P())
+    sc = P(None, DATA_AXIS, None, head_axis) if quantized else None
+    return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc, length=P())
 
 
 def shard_decoder_params(
@@ -122,7 +134,7 @@ def shard_kv_cache(
         n_kv = cache.k.shape[3]
         tp = mesh.shape.get(MODEL_AXIS, 1)
         shard_heads = n_kv % tp == 0
-    pspecs = kv_cache_pspecs(shard_heads)
+    pspecs = kv_cache_pspecs(shard_heads, quantized=cache.quantized)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         cache, pspecs,
