@@ -5,6 +5,9 @@
       [--calib_tokens tokens.npy | --calib_text file.txt]
 """
 import argparse
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -1,0 +1,129 @@
+"""Per-kernel microbenchmark: XLA (jnp) path vs Pallas kernels on the
+Llama-2-7B GEMM shapes (reference examples/benchbitsand.py measures the same
+kernels on saved activations; here shapes are what matter).
+
+  python examples/benchkernels.py [--m 256] [--steps 50]
+
+Timing is relay-safe: chained dependent calls, two chain lengths.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def time_chained(fn, x0, steps):
+    import jax
+
+    y = fn(x0)
+    _ = jax.device_get(jax.numpy.ravel(y)[0])
+
+    def chain(n):
+        t0 = time.time()
+        y = x0
+        for _ in range(n):
+            y = fn(y)
+        _ = jax.device_get(jax.numpy.ravel(y)[0])
+        return time.time() - t0
+
+    t1, t2 = chain(steps), chain(2 * steps)
+    return max((t2 - t1) / steps, 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mixq_tpu.ops import quant as Q
+    from mixq_tpu.ops.pallas.int8_matmul import int8_matmul_dequant
+    from mixq_tpu.ops.pallas.w8a16 import w8a16_matmul
+
+    M = args.m
+    shapes = {                       # llama-2-7b linears (K, N)
+        "qkv_one": (4096, 4096),
+        "o_proj": (4096, 4096),
+        "up_proj": (4096, 11008),
+        "down_proj": (11008, 4096),
+    }
+
+    results = []
+    for name, (K, N) in shapes.items():
+        kx = jax.random.PRNGKey(0)
+        x = jax.random.normal(kx, (M, K), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (K, N)) * 0.02
+        qx, xs = Q.quantize_act_per_token(x)
+        qw, ws = Q.quantize_weight_int8(w)
+        Bo = 128
+        xo = jnp.zeros((M, Bo), jnp.bfloat16)
+        wo = jnp.zeros((Bo, N), jnp.bfloat16)
+
+        # chain via re-quantizing the output into the input's shape is
+        # awkward; instead make fn x->x while forcing the GEMM each call
+        @jax.jit
+        def xla_fn(t, qx=qx, qw=qw, xs=xs, ws=ws, xo=xo, wo=wo):
+            acc = jax.lax.dot_general(
+                jnp.bitwise_xor(qx, t.astype(jnp.int8)), qw,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * xs * ws[None, :]
+            y = y + xo.astype(jnp.float32) @ wo.astype(jnp.float32)
+            return (jnp.sum(y, dtype=jnp.float32) * 0).astype(t.dtype) + t
+
+        @jax.jit
+        def pallas_fn(t, qx=qx, qw=qw, xs=xs, ws=ws, xo=xo, wo=wo):
+            y = int8_matmul_dequant(
+                jnp.bitwise_xor(qx, t.astype(jnp.int8)), qw, xs, ws, xo, wo)
+            return (jnp.sum(y, dtype=jnp.float32) * 0).astype(t.dtype) + t
+
+        t0 = jnp.zeros((), jnp.int32)
+        t_xla = time_chained(xla_fn, t0, args.steps)
+        t_pal = time_chained(pallas_fn, t0, args.steps)
+        gb = (M * K + K * N + 2 * M * N + M * Bo * 2 + Bo * N * 2) / 1e9
+        row = {
+            "kernel": f"w8a8o16_{name}", "M": M, "K": K, "N": N,
+            "xla_us": round(t_xla * 1e6, 1),
+            "pallas_us": round(t_pal * 1e6, 1),
+            "xla_gbps": round(gb / t_xla, 1),
+            "pallas_gbps": round(gb / t_pal, 1),
+            "speedup": round(t_xla / t_pal, 2),
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+    # W8A16 weight-only (EETQ path)
+    K, N = 4096, 11008
+    x = jax.random.normal(jax.random.PRNGKey(2), (M, K)).astype(jnp.bfloat16)
+    qw, ws = Q.quantize_weight_int8(
+        jax.random.normal(jax.random.PRNGKey(3), (K, N)) * 0.02)
+
+    @jax.jit
+    def xla_w8a16(t):
+        w = qw.astype(jnp.bfloat16) * ws.astype(jnp.bfloat16)[None, :]
+        y = jnp.dot(x + t.astype(jnp.bfloat16), w,
+                    preferred_element_type=jnp.float32)
+        return (jnp.sum(y) * 0).astype(t.dtype) + t
+
+    @jax.jit
+    def pallas_w8a16(t):
+        y = w8a16_matmul(x + t.astype(jnp.bfloat16), qw, ws)
+        return (jnp.sum(y.astype(jnp.float32)) * 0).astype(t.dtype) + t
+
+    t0 = jnp.zeros((), jnp.int32)
+    t_xla = time_chained(xla_w8a16, t0, args.steps)
+    t_pal = time_chained(pallas_w8a16, t0, args.steps)
+    row = {"kernel": "w8a16_up", "M": M, "K": K, "N": N,
+           "xla_us": round(t_xla * 1e6, 1), "pallas_us": round(t_pal * 1e6, 1),
+           "speedup": round(t_xla / t_pal, 2)}
+    results.append(row)
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,9 @@
       --output act_scales/model.npz [--calib_tokens t.npy|--calib_text f.txt]
 """
 import argparse
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 
 

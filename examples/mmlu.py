@@ -4,6 +4,9 @@
       [--ntrain 5] [--check_accuracy --accuracy_threshold 0.3]
 """
 import argparse
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 
 

@@ -1,0 +1,206 @@
+"""Continuous batching engine: slot-based serving over a shared KV cache.
+
+North-star requirement (BASELINE.json: "continuous batching across hosts");
+the reference has nothing comparable (static batch, one generate() call).
+
+Design: a fixed pool of `n_slots` KV-cache rows. Requests queue in the
+(native C++) scheduler; admission prefilels the prompt with a bucketed
+[1, Tp] program and copies the resulting KV rows into the request's slot;
+every step() then runs ONE T=1 decode over all slots (inactive slots compute
+garbage that is ignored — static shapes, no recompilation as requests come
+and go). Per-slot positions flow through `slot_lengths`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixq_tpu.config import EngineConfig, ModelConfig
+from mixq_tpu.engine.sampling import SamplingParams, sample
+from mixq_tpu.engine.scheduler import make_scheduler
+from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs, forward
+from mixq_tpu.models.layers import KVCache
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class ContinuousBatchingEngine:
+    def __init__(
+        self,
+        params: DecoderParams,
+        model_cfg: ModelConfig,
+        specs: DecoderSpecs,
+        engine_cfg: Optional[EngineConfig] = None,
+        prefer_native_scheduler: bool = True,
+    ):
+        self.params = params
+        self.cfg = model_cfg
+        self.specs = specs
+        self.ecfg = engine_cfg or EngineConfig()
+        self.n_slots = self.ecfg.max_batch_size
+        self.max_seq = self.ecfg.max_seq_len
+        self.sched = make_scheduler(self.n_slots, self.max_seq,
+                                    prefer_native_scheduler)
+
+        mc, specs_ = model_cfg, specs
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _decode(params, tokens, cache, slot_lengths):
+            logits, cache = forward(params, tokens, cache, specs_, mc,
+                                    slot_lengths=slot_lengths)
+            return logits[:, -1, :], cache
+
+        @jax.jit
+        def _prefill(params, tokens, cache):
+            # [1, Tp] prompt prefill into a fresh small cache
+            logits, cache = forward(params, tokens, cache, specs_, mc)
+            return logits[:, -1, :], cache
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _insert(big: KVCache, small: KVCache, slot) -> KVCache:
+            # copy [L, 1, Tp, ...] prefill KV into the slot row
+            def put(dst, src):
+                return jax.lax.dynamic_update_slice(
+                    dst, src.astype(dst.dtype), (0, slot, 0) + (0,) * (dst.ndim - 3))
+            big = big._replace(k=put(big.k, small.k), v=put(big.v, small.v))
+            if big.quantized:
+                big = big._replace(
+                    k_scale=put(big.k_scale, small.k_scale),
+                    v_scale=put(big.v_scale, small.v_scale))
+            return big
+
+        self._decode = _decode
+        self._prefill = _prefill
+        self._insert = _insert
+
+        self.cache = KVCache.create(
+            mc.num_hidden_layers, self.n_slots, self.max_seq,
+            mc.num_key_value_heads, mc.head_dim_,
+            jnp.dtype(self.ecfg.kv_dtype))
+        self.lengths = np.zeros((self.n_slots,), np.int32)
+        self.cur_tokens = np.zeros((self.n_slots,), np.int32)
+        self._prompts: Dict[int, List[int]] = {}
+        self._outputs: Dict[int, List[int]] = {}
+        self._done: Dict[int, List[int]] = {}
+        self._slot_req: Dict[int, int] = {}
+        self._next_id = 0
+        self._key = jax.random.PRNGKey(0)
+
+    # -- request API -------------------------------------------------------
+
+    def add_request(self, prompt: Sequence[int], max_new_tokens: int) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        rc = self.sched.add_request(rid, len(prompt), max_new_tokens)
+        if rc != 0:
+            raise ValueError(f"request rejected (code {rc}): "
+                             f"prompt_len={len(prompt)} max_seq={self.max_seq}")
+        self._prompts[rid] = list(prompt)
+        self._outputs[rid] = []
+        return rid
+
+    def finished(self) -> Dict[int, List[int]]:
+        """Pop finished request outputs."""
+        out, self._done = self._done, {}
+        return out
+
+    @property
+    def has_work(self) -> bool:
+        s = self.sched.stats()
+        return s["queued"] > 0 or s["active"] > 0
+
+    # -- one serving step --------------------------------------------------
+
+    def step(self, sampling: SamplingParams = SamplingParams()) -> int:
+        """Admit + prefill pending requests, then one decode step for all
+        active slots. Returns number of active slots stepped."""
+        for rid, slot in self.sched.admit():
+            self._admit(rid, slot)
+
+        active = self.sched.active_slots()
+        if not active:
+            return 0
+
+        active_np = np.zeros((self.n_slots,), bool)
+        active_np[active] = True
+
+        logits, self.cache = self._decode(
+            self.params, jnp.asarray(self.cur_tokens[:, None]),
+            self.cache, jnp.asarray(self.lengths))
+        self._key, sub = jax.random.split(self._key)
+        nxt = np.asarray(sample(logits, sub, sampling))
+
+        # only active slots advance / record
+        self.lengths[active_np] += 1
+        self.cur_tokens[active_np] = nxt[active_np]
+        for slot in active:
+            rid = self._slot_req[slot]
+            self._outputs[rid].append(int(nxt[slot]))
+            state = self.sched.on_token(slot)
+            if state == 1:
+                self._done[rid] = self._outputs.pop(rid)
+                del self._slot_req[slot]
+        return len(active)
+
+    def finish_slot(self, slot: int) -> None:
+        """Early-terminate (EOS) the request in `slot`."""
+        rid = self._slot_req.pop(slot, None)
+        if rid is None:
+            return
+        self.sched.finish(slot)
+        self._done[rid] = self._outputs.pop(rid)
+
+    def run_to_completion(
+        self, sampling: SamplingParams = SamplingParams(),
+        eos_token_id: Optional[int] = None, max_steps: int = 100000,
+    ) -> Dict[int, List[int]]:
+        """Drain the queue: step until everything finishes."""
+        results: Dict[int, List[int]] = {}
+        steps = 0
+        while self.has_work and steps < max_steps:
+            self.step(sampling)
+            steps += 1
+            if eos_token_id is not None:
+                for slot in list(self._slot_req):
+                    rid = self._slot_req[slot]
+                    if (self._outputs.get(rid)
+                            and self._outputs[rid][-1] == eos_token_id):
+                        self.finish_slot(slot)
+            results.update(self.finished())
+        return results
+
+    # -- internals ---------------------------------------------------------
+
+    def _admit(self, rid: int, slot: int) -> None:
+        """Prefill positions 0..n-2 of the prompt into the slot; the LAST
+        prompt token is replayed by the first decode step (which then emits
+        the first generated token). This sidesteps padded-position logits:
+        the bucketed prefill's last-position logits are never used."""
+        prompt = self._prompts.pop(rid)
+        n = len(prompt)
+        Tp = min(_round_up(max(n - 1, 1), self.ecfg.prefill_chunk),
+                 self.max_seq)
+        toks = np.zeros((1, Tp), np.int32)
+        toks[0, :n - 1] = prompt[:n - 1]   # right-pad; positions >= n-1 are
+                                           # garbage but masked by slot length
+
+        if n > 1:
+            small = KVCache.create(
+                self.cfg.num_hidden_layers, 1, Tp,
+                self.cfg.num_key_value_heads, self.cfg.head_dim_,
+                jnp.dtype(self.ecfg.kv_dtype))
+            _, small = self._prefill(self.params, jnp.asarray(toks), small)
+            self.cache = self._insert(self.cache, small,
+                                      jnp.asarray(slot, jnp.int32))
+        self.lengths[slot] = n - 1
+        self.cur_tokens[slot] = prompt[-1]
+        self._slot_req[slot] = rid
+
+    def stats(self):
+        return self.sched.stats()

@@ -238,6 +238,10 @@ def forward(
                                    # for left-padded batched prompts
     collect_stats: bool = False,   # also return per-linear-group input
                                    # channel absmax (calibration pipeline)
+    slot_lengths: Optional[jax.Array] = None,  # [B] — per-slot sequence
+                                   # positions (continuous batching). T must
+                                   # be 1; KV writes scatter per row and
+                                   # cache.length is ignored.
 ):
     """Run the decoder on a token chunk starting at cache.length.
 
@@ -249,25 +253,35 @@ def forward(
     B, T = tokens.shape
     x = jnp.take(params.embed, tokens, axis=0).astype(jnp.dtype(specs.wqkv.out_dtype))
 
-    q_slot = cache.length + jnp.arange(T, dtype=jnp.int32)
-    # logical (rope) positions discount left padding per row
-    if kv_start is not None:
-        rope_pos = jnp.maximum(q_slot[None, :] - kv_start[:, None], 0)  # [B,T]
-    else:
+    if slot_lengths is not None:
+        assert T == 1, "slot mode is a decode step (T=1)"
+        q_slot = slot_lengths[:, None]                         # [B, 1]
         rope_pos = q_slot
+    else:
+        q_slot = cache.length + jnp.arange(T, dtype=jnp.int32)
+        # logical (rope) positions discount left padding per row
+        if kv_start is not None:
+            rope_pos = jnp.maximum(q_slot[None, :] - kv_start[:, None], 0)
+        else:
+            rope_pos = q_slot
     rot = cfg.rotary_dim or cfg.head_dim_
     cos, sin = rope_cos_sin(rope_pos, rot, cfg.rope_theta)
 
     all_stats = {}
     quantized_kv = cache.quantized
     T_ = T
+    kv_len = (slot_lengths + 1 if slot_lengths is not None
+              else cache.length + T_)
 
     def attend_over(q, k_c, v_c, ks_c, vs_c):
         return attend(
-            q, k_c, v_c, q_slot, cache.length + T_,
+            q, k_c, v_c, q_slot, kv_len,
             kv_start=kv_start, sliding_window=cfg.sliding_window,
             k_scale=ks_c, v_scale=vs_c)
 
+    if params.stacked is not None and slot_lengths is not None:
+        raise NotImplementedError(
+            "slot-mode decode uses the loop path (unstacked params)")
     if params.stacked is not None:
         # scan over layers: one compiled block body (L-times smaller XLA
         # graph). The KV cache rides in the CARRY; per-layer slices are
@@ -333,7 +347,10 @@ def forward(
         for i, bp in enumerate(params.blocks):
             def kv_apply(q, k, v, i=i):
                 nonlocal cache
-                cache = cache.update_layer(i, k, v)  # full-array in-place DUS
+                if slot_lengths is not None:
+                    cache = cache.update_layer_slots(i, k, v, slot_lengths)
+                else:
+                    cache = cache.update_layer(i, k, v)  # in-place DUS
                 k_c, v_c, ks_c, vs_c = cache.layer_kv(i)
                 return attend_over(q, k_c, v_c, ks_c, vs_c)
 
@@ -342,7 +359,8 @@ def forward(
             if collect_stats:
                 for k_, v_ in stats.items():
                     all_stats[f"{i}.{k_}"] = v_
-    cache = cache.advance(T)
+    if slot_lengths is None:
+        cache = cache.advance(T)
 
     x = _norm(x, params.lnf_scale, params.lnf_bias, cfg)
     head = params.lm_head if params.lm_head is not None else params.embed.T

@@ -194,6 +194,37 @@ class KVCache(NamedTuple):
         )
         return self._replace(k=k, v=v)
 
+    def update_layer_slots(
+        self, layer: int, k_new: jax.Array, v_new: jax.Array,
+        slot_lengths: jax.Array,
+    ) -> "KVCache":
+        """Decode-step write at per-row positions (continuous batching):
+        k_new [B, 1, n_kv, hd] scattered to [layer, b, slot_lengths[b]]."""
+        B = k_new.shape[0]
+        rows = jnp.arange(B)
+        if self.quantized:
+            def q(x):
+                absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+                scale = jnp.maximum(absmax / 127.0, 1e-8)
+                qx = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                    -127, 127).astype(jnp.int8)
+                return qx, scale
+            qk, sk = q(k_new[:, 0])
+            qv, sv = q(v_new[:, 0])
+            return self._replace(
+                k=self.k.at[layer, rows, slot_lengths].set(qk),
+                v=self.v.at[layer, rows, slot_lengths].set(qv),
+                k_scale=self.k_scale.at[layer, rows, slot_lengths].set(sk),
+                v_scale=self.v_scale.at[layer, rows, slot_lengths].set(sv),
+            )
+        return self._replace(
+            k=self.k.at[layer, rows, slot_lengths].set(
+                k_new[:, 0].astype(self.k.dtype)),
+            v=self.v.at[layer, rows, slot_lengths].set(
+                v_new[:, 0].astype(self.v.dtype)),
+        )
+
     def layer_kv(self, layer: int):
         """(k, v, k_scale, v_scale) views for one layer."""
         if self.quantized:
@@ -252,13 +283,19 @@ def attend(
             k_scale, (0, 2, 1))[:, :, None, None, :]         # [B,h,1,1,S]
 
     kv_pos = jnp.arange(S, dtype=jnp.int32)
-    causal = kv_pos[None, :] <= q_slot[:, None]              # [T, S]
-    valid = kv_pos[None, :] < kv_valid_len                   # [1, S]
-    mask = (causal & valid)[None]                            # [1, T, S]
+    # q_slot may be [T] (uniform batch) or [B, T] (per-slot positions for
+    # continuous batching); kv_valid_len may be scalar or [B]
+    q_slot_b = q_slot if q_slot.ndim == 2 else q_slot[None]          # [B?,T]
+    causal = kv_pos[None, None, :] <= q_slot_b[:, :, None]           # [B?,T,S]
+    len_b = jnp.asarray(kv_valid_len)
+    len_b = len_b if len_b.ndim == 1 else len_b[None]                # [B?]
+    valid = kv_pos[None, None, :] < len_b[:, None, None]
+    mask = causal & valid                                            # [B?,T,S]
     if kv_start is not None:
         mask = mask & (kv_pos[None, None, :] >= kv_start[:, None, None])
     if sliding_window is not None:
-        mask = mask & (kv_pos[None, None, :] > q_slot[None, :, None] - sliding_window)
+        mask = mask & (kv_pos[None, None, :] >
+                       q_slot_b[:, :, None] - sliding_window)
     scores = jnp.where(mask[:, None, None], scores, -1e30)
 
     probs = jax.nn.softmax(scores, axis=-1)

@@ -1,0 +1,142 @@
+"""Continuous batching: scheduler semantics + engine correctness vs the
+uniform-batch engine."""
+import jax
+import numpy as np
+import pytest
+
+from mixq_tpu.config import EngineConfig, ModelConfig
+from mixq_tpu.engine import InferenceEngine
+from mixq_tpu.engine.batching import ContinuousBatchingEngine
+from mixq_tpu.engine.scheduler import PythonScheduler, make_scheduler
+from mixq_tpu.models import DecoderSpecs
+from mixq_tpu.models.decoder import init_decoder_params
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = ModelConfig.tiny()
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    return params, cfg, DecoderSpecs.fp16()
+
+
+def make_cb_engine(model, n_slots=4, max_seq=64, native=True):
+    params, cfg, specs = model
+    return ContinuousBatchingEngine(
+        params, cfg, specs,
+        EngineConfig(max_batch_size=n_slots, max_seq_len=max_seq,
+                     prefill_chunk=8),
+        prefer_native_scheduler=native)
+
+
+class TestScheduler:
+    @pytest.mark.parametrize("native", [True, False])
+    def test_fcfs_and_capacity(self, native):
+        s = make_scheduler(2, 32, prefer_native=native)
+        for rid in range(3):
+            assert s.add_request(rid, 4, 8) == 0
+        adm = s.admit()
+        assert [a[0] for a in adm] == [0, 1]       # FCFS, capacity 2
+        assert s.stats()["queued"] == 1
+        # finish slot 0 -> next admit pulls request 2
+        s.finish(adm[0][1])
+        adm2 = s.admit()
+        assert [a[0] for a in adm2] == [2]
+
+    @pytest.mark.parametrize("native", [True, False])
+    def test_token_budget(self, native):
+        s = make_scheduler(1, 16, prefer_native=native)
+        assert s.add_request(7, 10, 100) == 0      # clamped to 6
+        (rid, slot), = s.admit()
+        states = [s.on_token(slot) for _ in range(6)]
+        assert states[:-1] == [0] * 5 and states[-1] == 1
+
+    @pytest.mark.parametrize("native", [True, False])
+    def test_invalid_request(self, native):
+        s = make_scheduler(1, 16, prefer_native=native)
+        assert s.add_request(0, 0, 5) < 0
+        assert s.add_request(1, 16, 5) < 0
+
+    def test_native_matches_python(self):
+        """Differential test: same op sequence, same results."""
+        import random
+        rng = random.Random(0)
+        a = make_scheduler(4, 64, prefer_native=True)
+        b = PythonScheduler(4, 64)
+        if type(a).__name__ == "PythonScheduler":
+            pytest.skip("native lib unavailable")
+        for step in range(200):
+            op = rng.random()
+            if op < 0.4:
+                rid, pl, mnt = step, rng.randint(1, 63), rng.randint(1, 80)
+                assert a.add_request(rid, pl, mnt) == b.add_request(rid, pl, mnt)
+            elif op < 0.6:
+                assert a.admit() == b.admit()
+            elif op < 0.9:
+                slot = rng.randrange(4)
+                assert a.on_token(slot) == b.on_token(slot)
+            else:
+                slot = rng.randrange(4)
+                assert a.finish(slot) == b.finish(slot)
+            assert a.stats() == b.stats()
+            assert a.active_slots() == b.active_slots()
+
+
+class TestContinuousBatchingEngine:
+    def test_matches_uniform_engine(self, model):
+        """CB greedy output must equal the uniform engine's greedy output."""
+        params, cfg, specs = model
+        prompts = [[3, 1, 4, 1, 5], [2, 7], [9, 9, 8, 2, 1, 8, 2, 8]]
+        ref_engine = InferenceEngine(
+            params, cfg, specs, EngineConfig(max_seq_len=64, prefill_chunk=8))
+        ref = {i: out for i, out in enumerate(
+            ref_engine.generate(prompts, max_new_tokens=6))}
+
+        eng = make_cb_engine(model)
+        ids = [eng.add_request(p, 6) for p in prompts]
+        results = eng.run_to_completion()
+        assert set(results) == set(ids)
+        for i, rid in enumerate(ids):
+            assert results[rid] == ref[i], f"prompt {i}"
+
+    def test_more_requests_than_slots(self, model):
+        eng = make_cb_engine(model, n_slots=2)
+        prompts = [[i + 1, i + 2, i + 3] for i in range(5)]
+        ids = [eng.add_request(p, 4) for p in prompts]
+        results = eng.run_to_completion()
+        assert set(results) == set(ids)
+        assert all(len(v) == 4 for v in results.values())
+        assert eng.stats()["finished"] == 5
+
+    def test_staggered_arrivals(self, model):
+        """Requests arriving mid-flight join without disturbing others."""
+        params, cfg, specs = model
+        eng = make_cb_engine(model, n_slots=4)
+        r1 = eng.add_request([3, 1, 4, 1, 5], 8)
+        for _ in range(3):
+            eng.step()
+        r2 = eng.add_request([2, 7], 4)
+        results = eng.run_to_completion()
+        # r1's output must match the dedicated engine regardless of r2
+        ref_engine = InferenceEngine(
+            params, cfg, specs, EngineConfig(max_seq_len=64, prefill_chunk=8))
+        ref = ref_engine.generate([[3, 1, 4, 1, 5]], max_new_tokens=8)[0]
+        assert results[r1] == ref
+        assert len(results[r2]) == 4
+
+    def test_single_token_prompt(self, model):
+        eng = make_cb_engine(model)
+        rid = eng.add_request([5], 3)
+        results = eng.run_to_completion()
+        assert len(results[rid]) == 3
+
+    def test_eos_early_stop(self, model):
+        eng = make_cb_engine(model)
+        rid = eng.add_request([3, 1, 4, 1, 5], 8)
+        first = None
+        eng2 = make_cb_engine(model)
+        rid2 = eng2.add_request([3, 1, 4, 1, 5], 8)
+        full = eng2.run_to_completion()[rid2]
+        eos = full[2]   # pretend the 3rd generated token is EOS
+        results = eng.run_to_completion(eos_token_id=eos)
+        assert results[rid][-1] == eos
+        assert len(results[rid]) <= 8
