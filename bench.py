@@ -17,6 +17,11 @@ import sys
 import time
 
 import jax
+
+# persistent compilation cache: 7B graphs take minutes to compile; cache
+# hits make re-runs start in seconds (harmless if the backend ignores it)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
 from mixq_tpu.config import ModelConfig

@@ -74,13 +74,14 @@ def main():
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * xs * ws[None, :]
             y = y + xo.astype(jnp.float32) @ wo.astype(jnp.float32)
-            return (jnp.sum(y, dtype=jnp.float32) * 0).astype(t.dtype) + t
+            # data dependence that XLA cannot fold away
+            return t + (y.ravel()[0] > 1e30).astype(t.dtype)
 
         @jax.jit
         def pallas_fn(t, qx=qx, qw=qw, xs=xs, ws=ws, xo=xo, wo=wo):
             y = int8_matmul_dequant(
                 jnp.bitwise_xor(qx, t.astype(jnp.int8)), qw, xs, ws, xo, wo)
-            return (jnp.sum(y, dtype=jnp.float32) * 0).astype(t.dtype) + t
+            return t + (y.ravel()[0].astype(jnp.float32) > 1e30).astype(t.dtype)
 
         t0 = jnp.zeros((), jnp.int32)
         t_xla = time_chained(xla_fn, t0, args.steps)
@@ -108,12 +109,12 @@ def main():
         w = qw.astype(jnp.bfloat16) * ws.astype(jnp.bfloat16)[None, :]
         y = jnp.dot(x + t.astype(jnp.bfloat16), w,
                     preferred_element_type=jnp.float32)
-        return (jnp.sum(y) * 0).astype(t.dtype) + t
+        return t + (y.ravel()[0] > 1e30).astype(t.dtype)
 
     @jax.jit
     def pallas_w8a16(t):
         y = w8a16_matmul(x + t.astype(jnp.bfloat16), qw, ws)
-        return (jnp.sum(y.astype(jnp.float32)) * 0).astype(t.dtype) + t
+        return t + (y.ravel()[0].astype(jnp.float32) > 1e30).astype(t.dtype)
 
     t0 = jnp.zeros((), jnp.int32)
     t_xla = time_chained(xla_w8a16, t0, args.steps)

@@ -39,11 +39,21 @@ class InferenceEngine:
         model_cfg: ModelConfig,
         specs: DecoderSpecs,
         engine_cfg: Optional[EngineConfig] = None,
+        mesh=None,
     ):
+        """If `mesh` (jax.sharding.Mesh with ('data','model') axes) is given,
+        params are TP-sharded onto it and caches/token batches are sharded on
+        the data axis — the single-chip and multi-chip engines are the same
+        compiled program, partitioned by GSPMD."""
+        self.engine_cfg = engine_cfg or EngineConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from mixq_tpu.parallel.sharding import shard_decoder_params
+
+            params = shard_decoder_params(params, mesh)
         self.params = params
         self.model_cfg = model_cfg
         self.specs = specs
-        self.engine_cfg = engine_cfg or EngineConfig()
 
         mc = model_cfg
 
@@ -67,11 +77,16 @@ class InferenceEngine:
 
     def new_cache(self, batch: int, max_seq: Optional[int] = None) -> KVCache:
         mc = self.model_cfg
-        return KVCache.create(
+        cache = KVCache.create(
             mc.num_hidden_layers, batch, max_seq or self.engine_cfg.max_seq_len,
             mc.num_key_value_heads, mc.head_dim_,
             dtype=jnp.dtype(self.engine_cfg.kv_dtype),
         )
+        if self.mesh is not None:
+            from mixq_tpu.parallel.sharding import shard_kv_cache
+
+            cache = shard_kv_cache(cache, self.mesh)
+        return cache
 
     # -- one-shot convenience API ------------------------------------------
 

@@ -269,6 +269,9 @@ def attend(
     # Operands stay in their storage dtype (int8 KV / bf16) with f32 MXU
     # accumulation — converting the KV buffers to f32 would quadruple the
     # HBM traffic that dominates decode.
+    # (CPU XLA lacks bf16xbf16->f32 dot thunks, so tests use f32 operands
+    # there; on TPU bf16 operands halve any operand materialization.)
+    op_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     qf = q.reshape(B, T, n_kv, groups, D)
 
     # scores: [B, n_kv, groups, T, S]. For int8 KV, the per-(token, head)
@@ -276,7 +279,7 @@ def attend(
     # tensors), so the big KV buffers are read as int8 and never expanded
     # to fp in HBM.
     scores = jnp.einsum(
-        "bthgd,bshd->bhgts", qf.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        "bthgd,bshd->bhgts", qf.astype(op_dtype), k.astype(op_dtype),
         preferred_element_type=jnp.float32) * scale
     if k_scale is not None:
         scores = scores * jnp.transpose(
@@ -303,6 +306,6 @@ def attend(
         probs = probs * jnp.transpose(
             v_scale, (0, 2, 1))[:, :, None, None, :]
     out = jnp.einsum(
-        "bhgts,bshd->bthgd", probs.astype(jnp.bfloat16),
-        v.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        "bhgts,bshd->bthgd", probs.astype(op_dtype),
+        v.astype(op_dtype), preferred_element_type=jnp.float32)
     return out.reshape(B, T, n_q, D).astype(q.dtype)
