@@ -59,6 +59,9 @@ def main():
 
     cfg = llama2_7b_cfg(n_layers) if preset == "7b" else tiny_cfg(n_layers)
     specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+    if os.environ.get("BENCH_ATTN", "xla") == "pallas":
+        import dataclasses
+        specs = dataclasses.replace(specs, attn_impl="pallas")
 
     t0 = time.time()
     params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,

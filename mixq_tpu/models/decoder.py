@@ -76,6 +76,8 @@ class DecoderParams(NamedTuple):
     # copies — 32x smaller XLA graph for Llama-2-7B). Built via
     # stack_decoder_params(); mutually exclusive with `blocks`.
     stacked: Optional[BlockParams] = None
+    # learned positional embeddings [P, H] (OPT family; None = rotary-only)
+    pos_embed: Optional[jax.Array] = None
 
 
 def stack_decoder_params(params: DecoderParams) -> DecoderParams:
@@ -109,6 +111,10 @@ class DecoderSpecs:
     up: LinearSpec = LinearSpec(version="FP16", w_bit=16)
     gate: LinearSpec = LinearSpec(version="FP16", w_bit=16)
     down: LinearSpec = LinearSpec(version="FP16", w_bit=16)
+    # decode attention implementation: "xla" einsum or the fused "pallas"
+    # kernel (streams int8 KV without fp materialization; T=1 steps only,
+    # falls back to xla for prefill / windowed / padded-prompt cases)
+    attn_impl: str = "xla"
 
     @classmethod
     def uniform(cls, spec: LinearSpec) -> "DecoderSpecs":
@@ -149,9 +155,11 @@ def _mlp(h: jax.Array, mlp: MLPParams, specs: DecoderSpecs, cfg: ModelConfig):
         inner = (gate.astype(jnp.float32) * up.astype(jnp.float32)).astype(up.dtype)
     else:
         spec_up = specs.up
-        if spec_up.fuse == "none":
+        if spec_up.fuse == "none" and cfg.hidden_act != "relu":
             spec_up = dataclasses.replace(spec_up, fuse="gelu")
         inner = mixed_linear(mlp.up, h, spec_up)
+        if cfg.hidden_act == "relu":
+            inner = jnp.maximum(inner, 0)
     return mixed_linear(mlp.down, inner, specs.down), inner
 
 
@@ -208,8 +216,11 @@ def block_core(
     attn_out = mixed_linear(bp.attn.wo, attn_raw, specs.wo)
 
     if cfg.parallel_attn_mlp:
-        mlp_out, inner = _mlp(h_ln, bp.mlp, specs, cfg)
-        mlp_in = h_ln
+        # falcon new-decoder arch has a separate mlp norm (ln_mlp -> ln2);
+        # falcon-7b/gptj share the single pre-norm
+        mlp_in = (h_ln if bp.ln2_scale is None
+                  else _norm(x, bp.ln2_scale, bp.ln2_bias, cfg))
+        mlp_out, inner = _mlp(mlp_in, bp.mlp, specs, cfg)
         out = x + attn_out.astype(x.dtype) + mlp_out.astype(x.dtype)
     else:
         x = x + attn_out.astype(x.dtype)
@@ -266,6 +277,11 @@ def forward(
             rope_pos = q_slot
     rot = cfg.rotary_dim or cfg.head_dim_
     cos, sin = rope_cos_sin(rope_pos, rot, cfg.rope_theta)
+    if cfg.rope_style == "none":
+        cos, sin = jnp.ones_like(cos), jnp.zeros_like(sin)  # identity rotation
+    if params.pos_embed is not None:  # OPT learned positions
+        pe = jnp.take(params.pos_embed, rope_pos, axis=0).astype(x.dtype)
+        x = x + (pe[None] if rope_pos.ndim == 1 else pe)
 
     all_stats = {}
     quantized_kv = cache.quantized
@@ -273,7 +289,17 @@ def forward(
     kv_len = (slot_lengths + 1 if slot_lengths is not None
               else cache.length + T_)
 
+    use_fused_attn = (
+        specs.attn_impl == "pallas" and T == 1 and kv_start is None
+        and cfg.sliding_window is None and jax.default_backend() == "tpu"
+    )
+
     def attend_over(q, k_c, v_c, ks_c, vs_c):
+        if use_fused_attn:
+            from mixq_tpu.ops.pallas.decode_attention import decode_attention
+
+            out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c)
+            return out[:, None]
         return attend(
             q, k_c, v_c, q_slot, kv_len,
             kv_start=kv_start, sliding_window=cfg.sliding_window,

@@ -88,14 +88,16 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             rotary_dim=hf.get("rotary_dim", 64),
         )
     if mt == "opt":
+        common.pop("hidden_size", None)
         return ModelConfig(
             **common,
-            hidden_size=hf.get("hidden_size", hf.get("word_embed_proj_dim", 768)),
-            intermediate_size=hf.get("ffn_dim", 4 * common["hidden_size"]),
+            hidden_size=hf.get("hidden_size", 768),
+            intermediate_size=hf.get("ffn_dim", 3072),
             num_key_value_heads=common["num_attention_heads"],
             hidden_act="gelu" if hf.get("activation_function", "relu")
             in ("gelu", "gelu_new") else "relu",
             layernorm="layernorm",
+            rope_style="none",
         )
     if mt == "chatglm":
         return ModelConfig(
@@ -210,15 +212,18 @@ _SCHEMES: Dict[str, Dict[str, Optional[str]]] = {
     ),
     "falcon": dict(
         embed="transformer.word_embeddings.weight",
-        ln1="transformer.h.{i}.input_layernorm.weight",
-        ln1_bias="transformer.h.{i}.input_layernorm.bias",
+        ln1=("transformer.h.{i}.input_layernorm.weight",
+             "transformer.h.{i}.ln_attn.weight"),
+        ln1_bias=("transformer.h.{i}.input_layernorm.bias",
+                  "transformer.h.{i}.ln_attn.bias"),
+        ln2="transformer.h.{i}.ln_mlp.weight",
+        ln2_bias="transformer.h.{i}.ln_mlp.bias",
         q=None, k=None, v=None,
         qkv="transformer.h.{i}.self_attention.query_key_value",
         o="transformer.h.{i}.self_attention.dense",
         gate=None,
         up="transformer.h.{i}.mlp.dense_h_to_4h",
         down="transformer.h.{i}.mlp.dense_4h_to_h",
-        ln2=None,
         lnf="transformer.ln_f.weight",
         lnf_bias="transformer.ln_f.bias",
         lm_head="lm_head.weight",
@@ -254,6 +259,25 @@ _SCHEMES: Dict[str, Dict[str, Optional[str]]] = {
         lm_head="transformer.output_layer.weight",
     ),
 }
+_SCHEMES["opt"] = dict(
+    embed="model.decoder.embed_tokens.weight",
+    pos_embed="model.decoder.embed_positions.weight",
+    ln1="model.decoder.layers.{i}.self_attn_layer_norm.weight",
+    ln1_bias="model.decoder.layers.{i}.self_attn_layer_norm.bias",
+    q="model.decoder.layers.{i}.self_attn.q_proj",
+    k="model.decoder.layers.{i}.self_attn.k_proj",
+    v="model.decoder.layers.{i}.self_attn.v_proj",
+    qkv=None,
+    o="model.decoder.layers.{i}.self_attn.out_proj",
+    gate=None,
+    up="model.decoder.layers.{i}.fc1",
+    down="model.decoder.layers.{i}.fc2",
+    ln2="model.decoder.layers.{i}.final_layer_norm.weight",
+    ln2_bias="model.decoder.layers.{i}.final_layer_norm.bias",
+    lnf="model.decoder.final_layer_norm.weight",
+    lnf_bias="model.decoder.final_layer_norm.bias",
+    lm_head="lm_head.weight",
+)
 _SCHEMES["aquila"] = _SCHEMES["llama"]
 _SCHEMES["mistral"] = _SCHEMES["llama"]
 _SCHEMES["qwen2"] = _SCHEMES["llama"]
@@ -367,13 +391,14 @@ def params_from_source(
     osets = outlier_sets or {}
     L = cfg.num_hidden_layers
 
-    def get_vec(key_t: Optional[str], i: Optional[int] = None):
+    def get_vec(key_t, i: Optional[int] = None):
         if not key_t:
             return None
-        name = key_t.format(i=i) if i is not None else key_t
-        if not src.has(name):
-            return None
-        return jnp.asarray(np.asarray(src.get(name), np.float32))
+        for t in (key_t if isinstance(key_t, tuple) else (key_t,)):
+            name = t.format(i=i) if i is not None else t
+            if src.has(name):
+                return jnp.asarray(np.asarray(src.get(name), np.float32))
+        return None
 
     blocks = []
     for i in range(L):
@@ -420,12 +445,20 @@ def params_from_source(
         lm_head = jnp.asarray(
             np.asarray(src.get(scheme["lm_head"]), np.float32).T, store_dtype)
 
+    pos_embed = None
+    if scheme.get("pos_embed") and src.has(scheme["pos_embed"]):
+        pe = np.asarray(src.get(scheme["pos_embed"]), np.float32)
+        if cfg.model_type == "opt":
+            pe = pe[2:]        # OPT's learned positions carry a +2 pad offset
+        pos_embed = jnp.asarray(pe, store_dtype)
+
     return DecoderParams(
         embed=embed,
         blocks=tuple(blocks),
         lnf_scale=get_vec(scheme["lnf"]),
         lnf_bias=get_vec(scheme.get("lnf_bias")),
         lm_head=lm_head,
+        pos_embed=pos_embed,
     )
 
 

@@ -91,7 +91,10 @@ def apply_rope(
     rotary_dim: Optional[int] = None,
 ) -> jax.Array:
     """Apply rotary embedding. 'neox' = rotate-half (llama/qwen/falcon),
-    'gptj' = rotate-every-two (gptj/chatglm first half)."""
+    'gptj' = rotate-every-two (gptj/chatglm first half), 'none' = identity
+    (OPT-style learned-position models)."""
+    if style == "none":
+        return x
     D = x.shape[-1]
     rot = rotary_dim or D
     x_rot, x_pass = x[..., :rot], x[..., rot:]

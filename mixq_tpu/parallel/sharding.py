@@ -102,6 +102,7 @@ def decoder_pspecs(params: DecoderParams) -> DecoderParams:
         lnf_bias=_maybe(params.lnf_bias, P(None)),
         lm_head=_maybe(params.lm_head, P(None, MODEL_AXIS)),
         stacked=stacked_spec,
+        pos_embed=_maybe(params.pos_embed, P(None, None)),
     )
 
 

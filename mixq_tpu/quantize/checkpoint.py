@@ -194,5 +194,6 @@ def load_checkpoint(
         lnf_scale=get("lnf_scale"),
         lnf_bias=get("lnf_bias"),
         lm_head=get("lm_head"),
+        pos_embed=get("pos_embed"),
     )
     return params, model_cfg, quant_cfg

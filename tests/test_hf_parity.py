@@ -100,6 +100,32 @@ class TestFalcon:
         model = FalconForCausalLM(cfg)
         run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=4))
 
+    def test_falcon_new_decoder_gqa(self):
+        """falcon-40b/180b style: new_decoder_architecture + GQA."""
+        from transformers import FalconConfig, FalconForCausalLM
+        cfg = FalconConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_kv_heads=2, parallel_attn=True,
+            bias=False, new_decoder_architecture=True, alibi=False,
+        )
+        torch.manual_seed(12)
+        model = FalconForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=12))
+
+
+class TestOPT:
+    def test_opt(self):
+        from transformers import OPTConfig, OPTForCausalLM
+        cfg = OPTConfig(
+            vocab_size=128, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=64,
+            do_layer_norm_before=True, activation_function="relu",
+            word_embed_proj_dim=64,
+        )
+        torch.manual_seed(11)
+        model = OPTForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=11))
+
 
 class TestGPTJ:
     def test_gptj(self):
