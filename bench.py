@@ -58,7 +58,14 @@ def main():
     n_layers = int(os.environ.get("BENCH_LAYERS", "32" if preset == "7b" else "2"))
 
     cfg = llama2_7b_cfg(n_layers) if preset == "7b" else tiny_cfg(n_layers)
-    specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+    w_bits = int(os.environ.get("BENCH_W", "8"))
+    if w_bits == 4:
+        from mixq_tpu.config import QuantConfig
+        from mixq_tpu.quantize import resolve_specs
+        # W4A4 with the reference policy (down/o forced 8-bit)
+        specs = resolve_specs(QuantConfig.w4a4())
+    else:
+        specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
     if os.environ.get("BENCH_ATTN", "xla") == "pallas":
         import dataclasses
         specs = dataclasses.replace(specs, attn_impl="pallas")

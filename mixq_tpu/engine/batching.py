@@ -38,7 +38,16 @@ class ContinuousBatchingEngine:
         specs: DecoderSpecs,
         engine_cfg: Optional[EngineConfig] = None,
         prefer_native_scheduler: bool = True,
+        mesh=None,
     ):
+        """`mesh`: optional (data, model) jax Mesh — params TP-shard onto it
+        and the slot cache shards batch/heads; the serving loop is unchanged
+        (GSPMD partitions the compiled steps)."""
+        self.mesh = mesh
+        if mesh is not None:
+            from mixq_tpu.parallel.sharding import shard_decoder_params
+
+            params = shard_decoder_params(params, mesh)
         self.params = params
         self.cfg = model_cfg
         self.specs = specs
@@ -83,6 +92,10 @@ class ContinuousBatchingEngine:
             mc.num_hidden_layers, self.n_slots, self.max_seq,
             mc.num_key_value_heads, mc.head_dim_,
             jnp.dtype(self.ecfg.kv_dtype))
+        if mesh is not None:
+            from mixq_tpu.parallel.sharding import shard_kv_cache
+
+            self.cache = shard_kv_cache(self.cache, mesh)
         self.lengths = np.zeros((self.n_slots,), np.int32)
         self.cur_tokens = np.zeros((self.n_slots,), np.int32)
         self._prompts: Dict[int, List[int]] = {}

@@ -99,8 +99,15 @@ class QuantizedAct(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def int_weight(params: MixLinearParams, spec: LinearSpec) -> jax.Array:
-    """Return the int8 [K, N] weight view (unpacking int4 if packed)."""
+    """Return the int8 [K, N] weight view.
+
+    int4 weights are stored as jnp.int4 (XLA-native; packed in HBM on TPU,
+    with the widening convert fused into the consumer) — the cast here is
+    the in-kernel unpack of the reference's mixlib int4 path. Legacy
+    uint8-packed storage (2 nibbles/byte) is also accepted."""
     qw = params.q_weight
+    if qw.dtype == jnp.int4:
+        return qw.astype(jnp.int8)
     if spec.w_bit == 4 and qw.dtype == jnp.uint8:
         return Q.unpack_int4(qw)
     return qw
@@ -243,12 +250,21 @@ def quik_linear(
 # Parameter construction (offline quantization of one linear)
 # ---------------------------------------------------------------------------
 
+import os as _os
+
+# native jnp.int4 weight storage (packed in HBM on TPU). Some PJRT backends
+# (notably the axon relay used in CI) cannot transfer S4 buffers; set
+# MIXQ_INT4_NATIVE=0 to store int4 values widened to int8 instead (same
+# math, no bandwidth win at rest).
+_INT4_NATIVE = _os.environ.get("MIXQ_INT4_NATIVE", "1") == "1"
+
+
 def from_float(
     w: jax.Array,
     spec: LinearSpec,
     bias: Optional[jax.Array] = None,
     outlier_set: Optional[Q.OutlierSet] = None,
-    pack: bool = True,
+    pack: Optional[bool] = None,
     store_dtype=jnp.bfloat16,
 ) -> MixLinearParams:
     """Quantize an fp weight [K, N] into MixLinearParams
@@ -280,15 +296,16 @@ def from_float(
         q_w, w_scale = Q.quantize_weight_int8(w_for_quant)
     elif spec.w_bit == 4:
         q_w, w_scale = Q.quantize_weight_int4(w_for_quant)
+        if pack is None:
+            pack = _INT4_NATIVE
         if pack:
-            q_w = Q.pack_int4(q_w)
+            q_w = q_w.astype(jnp.int4)   # native packed int4 storage
     else:
         raise ValueError(f"unsupported w_bit {spec.w_bit}")
 
     reduced_w = None
     if spec.version == "QUIK":
-        q_unpacked = Q.unpack_int4(q_w) if (spec.w_bit == 4 and pack) else q_w
-        reduced_w = Q.reduced_weight_rowsum(q_unpacked)
+        reduced_w = Q.reduced_weight_rowsum(q_w.astype(jnp.int8))
 
     return MixLinearParams(
         q_weight=q_w,
@@ -322,7 +339,9 @@ def promote_outliers(
     q_w_int = (
         q_w_int.astype(jnp.float32) * new_oset.k_mask[:, None]
     ).astype(jnp.int8)
-    if spec.w_bit == 4 and params.q_weight.dtype == jnp.uint8:
+    if params.q_weight.dtype == jnp.int4:
+        q_w_store = q_w_int.astype(jnp.int4)
+    elif spec.w_bit == 4 and params.q_weight.dtype == jnp.uint8:
         q_w_store = Q.pack_int4(q_w_int)
     else:
         q_w_store = q_w_int

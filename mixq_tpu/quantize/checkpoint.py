@@ -70,11 +70,23 @@ def save_checkpoint(
     shards: List[Dict[str, np.ndarray]] = [{}]
     shard_sizes = [0]
     for name, leaf in leaves:
-        arr = np.asarray(jax.device_get(leaf))
-        dtype = str(arr.dtype)
-        if arr.dtype == jnp.bfloat16:
-            arr = arr.view(np.uint16)
-            dtype = _BF16_TAG
+        if leaf.dtype == jnp.int4:
+            # store packed 2-per-byte (reference packs too, linear.py:14-23)
+            arr8 = np.asarray(jax.device_get(leaf.astype(jnp.int8)))
+            if arr8.shape[0] % 2 == 0:
+                lo = arr8[0::2].astype(np.uint8) & 0x0F
+                hi = arr8[1::2].astype(np.uint8) & 0x0F
+                arr = lo | (hi << 4)
+                dtype = "int4_packed"
+            else:
+                arr = arr8
+                dtype = "int4_raw"
+        else:
+            arr = np.asarray(jax.device_get(leaf))
+            dtype = str(arr.dtype)
+            if arr.dtype == jnp.bfloat16:
+                arr = arr.view(np.uint16)
+                dtype = _BF16_TAG
         if shard_sizes[-1] + arr.nbytes > _SHARD_BYTES and shards[-1]:
             shards.append({})
             shard_sizes.append(0)
@@ -118,8 +130,19 @@ class _CheckpointReader:
                 framework="np")
         arr = self._handles[i].get_tensor(name)
         if meta["dtype"] == _BF16_TAG:
-            arr = arr.view(jnp.bfloat16)
-        out = jnp.asarray(arr)
+            out = jnp.asarray(arr.view(jnp.bfloat16))
+        elif meta["dtype"] == "int4_packed":
+            lo = (arr & 0x0F).astype(np.int8)
+            hi = ((arr >> 4) & 0x0F).astype(np.int8)
+            lo = np.where(lo >= 8, lo - 16, lo)
+            hi = np.where(hi >= 8, hi - 16, hi)
+            full = np.empty((arr.shape[0] * 2,) + arr.shape[1:], np.int8)
+            full[0::2], full[1::2] = lo, hi
+            out = jnp.asarray(full).astype(jnp.int4)
+        elif meta["dtype"] == "int4_raw":
+            out = jnp.asarray(arr).astype(jnp.int4)
+        else:
+            out = jnp.asarray(arr)
         if sharding is not None:
             out = jax.device_put(out, sharding)
         return out

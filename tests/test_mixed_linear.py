@@ -95,7 +95,7 @@ class TestW4A4:
         spec = LinearSpec(w_bit=4, a_bit=4)
         oset = Q.empty_outlier_set(64, budget=8)
         p = from_float(w, spec, outlier_set=oset)
-        assert p.q_weight.dtype == jnp.uint8 and p.q_weight.shape == (32, 32)
+        assert p.q_weight.dtype == jnp.int4 and p.q_weight.shape == (64, 32)
         y = mixed_linear(p, x, spec)
         assert rel_err(y, x @ w) < 0.2  # int4 is coarse
 
