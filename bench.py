@@ -54,7 +54,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "256"))
     S = int(os.environ.get("BENCH_SEQ", "32"))
     steps = int(os.environ.get("BENCH_DECODE_STEPS", "32"))
-    kv_dtype = jnp.dtype(os.environ.get("BENCH_KV", "int8"))
+    kv_dtype = jnp.dtype(os.environ.get("BENCH_KV", "bfloat16"))
     n_layers = int(os.environ.get("BENCH_LAYERS", "32" if preset == "7b" else "2"))
 
     cfg = llama2_7b_cfg(n_layers) if preset == "7b" else tiny_cfg(n_layers)

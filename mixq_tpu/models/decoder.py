@@ -300,6 +300,13 @@ def forward(
 
             out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c)
             return out[:, None]
+        if T_ > 512:   # long prefill: bound score memory to O(chunk * S)
+            from mixq_tpu.models.layers import attend_chunked
+
+            return attend_chunked(
+                q, k_c, v_c, q_slot, kv_len,
+                kv_start=kv_start, sliding_window=cfg.sliding_window,
+                k_scale=ks_c, v_scale=vs_c)
         return attend(
             q, k_c, v_c, q_slot, kv_len,
             kv_start=kv_start, sliding_window=cfg.sliding_window,

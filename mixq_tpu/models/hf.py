@@ -100,9 +100,10 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             rope_style="none",
         )
     if mt == "chatglm":
+        common["vocab_size"] = hf.get("padded_vocab_size",
+                                      hf.get("vocab_size", 65024))
         return ModelConfig(
             **common,
-            vocab_size=hf.get("padded_vocab_size", hf.get("vocab_size", 65024)),
             intermediate_size=hf["ffn_hidden_size"],
             num_key_value_heads=hf.get(
                 "multi_query_group_num", common["num_attention_heads"])
@@ -113,7 +114,6 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             rope_style="gptj",
             rotary_dim=(hf.get("kv_channels", 128)) // 2,
             rope_theta=10000.0 * hf.get("rope_ratio", 1.0),
-            tie_word_embeddings=False,
         )
     raise ValueError(f"unsupported model_type: {mt}")
 

@@ -243,6 +243,40 @@ class KVCache(NamedTuple):
 # Attention
 # ---------------------------------------------------------------------------
 
+def attend_chunked(
+    q: jax.Array,              # [B, T, n_q, D]
+    k: jax.Array,
+    v: jax.Array,
+    q_slot: jax.Array,
+    kv_valid_len: jax.Array,
+    kv_start: Optional[jax.Array] = None,
+    sliding_window: Optional[int] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    chunk: int = 256,
+) -> jax.Array:
+    """Query-chunked attention for long prefill: identical math to attend(),
+    but scores materialize per query block ([B, h, g, chunk, S] instead of
+    [B, h, g, T, S]) — memory O(T*S/chunk-blocks) -> O(chunk*S) per step.
+    The flash-attention memory property via lax.map over query chunks; the
+    KV side stays resident (it must be written to the cache anyway)."""
+    B, T, n_q, D = q.shape
+    if T % chunk != 0 or q_slot.ndim != 1:
+        return attend(q, k, v, q_slot, kv_valid_len, kv_start,
+                      sliding_window, k_scale, v_scale)
+    n_chunks = T // chunk
+    q_c = q.reshape(B, n_chunks, chunk, n_q, D)
+    slot_c = q_slot.reshape(n_chunks, chunk)
+
+    def one(args):
+        q_i, slot_i = args
+        return attend(q_i, k, v, slot_i, kv_valid_len, kv_start,
+                      sliding_window, k_scale, v_scale)
+
+    out = jax.lax.map(one, (jnp.moveaxis(q_c, 1, 0), slot_c))
+    return jnp.moveaxis(out, 0, 1).reshape(B, T, n_q, D)
+
+
 def attend(
     q: jax.Array,              # [B, T, n_q, D]
     k: jax.Array,              # [B, S, n_kv, D] (full static cache incl. new)
