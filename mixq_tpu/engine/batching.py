@@ -26,8 +26,7 @@ from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs, forward
 from mixq_tpu.models.layers import KVCache
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from mixq_tpu.utils.shapes import round_up as _round_up
 
 
 class ContinuousBatchingEngine:

@@ -25,8 +25,7 @@ from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs, forward
 from mixq_tpu.models.layers import KVCache
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from mixq_tpu.utils.shapes import round_up as _round_up
 
 
 class InferenceEngine:
@@ -58,12 +57,7 @@ class InferenceEngine:
         mc = model_cfg
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def _prefill(params, tokens, cache, kv_start):
-            logits, cache = forward(params, tokens, cache, specs, mc, kv_start)
-            return logits[:, -1, :], cache
-
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _decode(params, tokens, cache, kv_start):
+        def _step(params, tokens, cache, kv_start):
             logits, cache = forward(params, tokens, cache, specs, mc, kv_start)
             return logits[:, -1, :], cache
 
@@ -71,8 +65,10 @@ class InferenceEngine:
         def _sample(logits, key, sp: SamplingParams):
             return sample(logits, key, sp)
 
-        self._prefill = _prefill
-        self._decode = _decode
+        # one jitted step serves prefill and decode (jit specializes per
+        # token-chunk shape anyway)
+        self._prefill = _step
+        self._decode = _step
         self._sample = _sample
 
     def new_cache(self, batch: int, max_seq: Optional[int] = None) -> KVCache:

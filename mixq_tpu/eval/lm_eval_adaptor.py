@@ -96,7 +96,7 @@ class MixQLM(LM):
             ids = self.tokenizer(text).input_ids
             (lp, _), = self._score([([self.tokenizer.bos_token_id or 1],
                                      ids[: self.max_length - 1])])
-            results.append((lp,))
+            results.append(lp)
         return results
 
     def generate_until(self, requests):

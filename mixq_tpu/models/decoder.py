@@ -28,6 +28,7 @@ from mixq_tpu.config import ModelConfig
 from mixq_tpu.models.layers import (
     KVCache, apply_rope, attend, layernorm, rmsnorm, rope_cos_sin,
 )
+from mixq_tpu.ops import quant as Q
 from mixq_tpu.ops.mixed_linear import (
     LinearSpec, MixLinearParams, QuantizedAct, from_float, mixed_linear,
     mixed_linear_prepared, prepare_act,
@@ -155,21 +156,13 @@ def _mlp(h: jax.Array, mlp: MLPParams, specs: DecoderSpecs, cfg: ModelConfig):
         inner = (gate.astype(jnp.float32) * up.astype(jnp.float32)).astype(up.dtype)
     else:
         spec_up = specs.up
-        if spec_up.fuse == "none" and cfg.hidden_act != "relu":
-            spec_up = dataclasses.replace(spec_up, fuse="gelu")
+        if spec_up.fuse == "none" and cfg.hidden_act not in ("relu",):
+            act = "gelu_new" if cfg.hidden_act == "gelu_new" else "gelu"
+            spec_up = dataclasses.replace(spec_up, fuse=act)
         inner = mixed_linear(mlp.up, h, spec_up)
         if cfg.hidden_act == "relu":
             inner = jnp.maximum(inner, 0)
     return mixed_linear(mlp.down, inner, specs.down), inner
-
-
-def _quantize_kv(x: jax.Array):
-    """Per-(token, head) absmax int8 quant for KV writes."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(absmax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
-                 -127, 127).astype(jnp.int8)
-    return q, scale
 
 
 def block_core(
@@ -290,15 +283,19 @@ def forward(
               else cache.length + T_)
 
     use_fused_attn = (
-        specs.attn_impl == "pallas" and T == 1 and kv_start is None
+        specs.attn_impl == "pallas" and T == 1
         and cfg.sliding_window is None and jax.default_backend() == "tpu"
     )
+    if use_fused_attn:
+        from mixq_tpu.ops.pallas.decode_attention import (
+            decode_attention, decode_attention_supported)
+
+        use_fused_attn = decode_attention_supported(cache.k[0])
 
     def attend_over(q, k_c, v_c, ks_c, vs_c):
         if use_fused_attn:
-            from mixq_tpu.ops.pallas.decode_attention import decode_attention
-
-            out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c)
+            out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c,
+                                   kv_start=kv_start)
             return out[:, None]
         if T_ > 512:   # long prefill: bound score memory to O(chunk * S)
             from mixq_tpu.models.layers import attend_chunked
@@ -335,8 +332,8 @@ def forward(
                 if quantized_kv:
                     ks_c = jax.lax.dynamic_index_in_dim(ks_all, i, 0, False)
                     vs_c = jax.lax.dynamic_index_in_dim(vs_all, i, 0, False)
-                    qk, sk = _quantize_kv(k)
-                    qv, sv = _quantize_kv(v)
+                    qk, sk = Q.quantize_kv(k)
+                    qv, sv = Q.quantize_kv(v)
                     k_c = jax.lax.dynamic_update_slice(k_c, qk, at4)
                     v_c = jax.lax.dynamic_update_slice(v_c, qv, at4)
                     ks_c = jax.lax.dynamic_update_slice(

@@ -81,21 +81,28 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             intermediate_size=hf.get("n_inner") or 4 * common["hidden_size"],
             num_key_value_heads=common["num_attention_heads"],
             rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
-            hidden_act="gelu",
+            hidden_act=("gelu_new"
+                        if hf.get("activation_function", "gelu_new")
+                        in ("gelu_new", "gelu_pytorch_tanh") else "gelu"),
             layernorm="layernorm",
             parallel_attn_mlp=True,
             rope_style="gptj",
             rotary_dim=hf.get("rotary_dim", 64),
         )
     if mt == "opt":
+        wepd = hf.get("word_embed_proj_dim", hf.get("hidden_size", 768))
+        if wepd != hf.get("hidden_size", 768):
+            raise ValueError(
+                "OPT variants with word_embed_proj_dim != hidden_size "
+                "(project_in/project_out, e.g. opt-350m) are not supported")
         common.pop("hidden_size", None)
         return ModelConfig(
             **common,
             hidden_size=hf.get("hidden_size", 768),
             intermediate_size=hf.get("ffn_dim", 3072),
             num_key_value_heads=common["num_attention_heads"],
-            hidden_act="gelu" if hf.get("activation_function", "relu")
-            in ("gelu", "gelu_new") else "relu",
+            hidden_act={"gelu": "gelu", "gelu_new": "gelu_new"}.get(
+                hf.get("activation_function", "relu"), "relu"),
             layernorm="layernorm",
             rope_style="none",
         )
@@ -170,13 +177,6 @@ class TensorSource:
                 t = t.view(np.float32)
             return t
         return cls(get, lambda k: k in shard_of)
-
-
-def _bf16_or(src_arr: np.ndarray, dtype) -> jnp.ndarray:
-    if src_arr.dtype == np.dtype("V2"):  # raw bfloat16 from safetensors
-        src_arr = src_arr.view(np.uint16).astype(np.uint32) << 16
-        src_arr = src_arr.view(np.float32)
-    return jnp.asarray(src_arr, dtype)
 
 
 # name templates per family: (embed, ln1, q, k, v, qkv_fused, o, gate, up,

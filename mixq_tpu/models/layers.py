@@ -173,14 +173,8 @@ class KVCache(NamedTuple):
         """Write [B, T, n_kv, hd] at the current length offset for `layer`.
         Length advance happens once per step via `advance`."""
         if self.quantized:
-            def q(x):
-                absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-                scale = jnp.maximum(absmax / 127.0, 1e-8)      # [B, T, n_kv]
-                qx = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
-                              -127, 127).astype(jnp.int8)
-                return qx, scale
-            qk, sk = q(k_new)
-            qv, sv = q(v_new)
+            qk, sk = Q.quantize_kv(k_new)
+            qv, sv = Q.quantize_kv(v_new)
             at5 = (layer, 0, self.length, 0, 0)
             at4 = (layer, 0, self.length, 0)
             return self._replace(
@@ -206,15 +200,8 @@ class KVCache(NamedTuple):
         B = k_new.shape[0]
         rows = jnp.arange(B)
         if self.quantized:
-            def q(x):
-                absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-                scale = jnp.maximum(absmax / 127.0, 1e-8)
-                qx = jnp.clip(
-                    jnp.round(x.astype(jnp.float32) / scale[..., None]),
-                    -127, 127).astype(jnp.int8)
-                return qx, scale
-            qk, sk = q(k_new[:, 0])
-            qv, sv = q(v_new[:, 0])
+            qk, sk = Q.quantize_kv(k_new[:, 0])
+            qv, sv = Q.quantize_kv(v_new[:, 0])
             return self._replace(
                 k=self.k.at[layer, rows, slot_lengths].set(qk),
                 v=self.v.at[layer, rows, slot_lengths].set(qv),

@@ -118,6 +118,9 @@ def _apply_fuse(y: jax.Array, fuse: str, out_dtype) -> jax.Array:
         y = jax.nn.silu(y.astype(jnp.float32))
     elif fuse == "gelu":
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False)
+    elif fuse == "gelu_new":
+        # HF NewGELUActivation == tanh-approximate GELU (gptj, gpt2-family)
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=True)
     return y.astype(out_dtype)
 
 

@@ -27,9 +27,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, *,
-            n_kv: int, groups: int, D: int, S: int, quantized: bool,
-            bm: int):
+def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+            out_ref, *, n_kv: int, groups: int, D: int, S: int,
+            quantized: bool, bm: int):
     """Decode attention as broadcast-multiply-reduce on the VPU, `bm` batch
     rows per grid program.
 
@@ -42,11 +42,13 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, *,
     scale = 1.0 / (D ** 0.5)
     for r in range(bm):
         kv_len = len_ref[pl.program_id(0) * bm + r]
+        kv_start = start_ref[pl.program_id(0) * bm + r]
         # [S*n_kv, D] -> [S, n_kv, D]: splits the sublane (major) dim — a
         # free relayout (n_kv is sublane-aligned), unlike lane splits
         k = k_ref[r].reshape(S, n_kv, D)
         v = v_ref[r].reshape(S, n_kv, D)
-        valid = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) < kv_len
+        pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        valid = (pos < kv_len) & (pos >= kv_start)
         ks = ks_ref[r] if quantized else None                # [S, n_kv]
         vs = vs_ref[r] if quantized else None
 
@@ -76,6 +78,7 @@ def decode_attention(
     kv_len,                         # scalar or [B] int32 valid length
     k_scale: Optional[jax.Array] = None,   # [B, S, n_kv] f32
     v_scale: Optional[jax.Array] = None,
+    kv_start=None,                  # scalar or [B] first valid slot
     interpret: bool = False,
 ) -> jax.Array:
     B, n_q, D = q.shape
@@ -84,6 +87,9 @@ def decode_attention(
     quantized = k_scale is not None
 
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+    if kv_start is None:
+        kv_start = 0
+    kv_start = jnp.broadcast_to(jnp.asarray(kv_start, jnp.int32), (B,))
     # q: [B, n_q, D] -> [B, n_kv, groups*D] (head h*groups+g at lanes g*D+d)
     q = q.reshape(B, n_kv, groups * D)
     k2 = k.reshape(B, S * n_kv, D)
@@ -108,22 +114,22 @@ def decode_attention(
         bm=bm)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B // bm,),
         in_specs=[
-            pl.BlockSpec((bm, n_kv, groups * D), lambda b, len_ref: (b, 0, 0),
+            pl.BlockSpec((bm, n_kv, groups * D), lambda b, len_ref, start_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, S * n_kv, D), lambda b, len_ref: (b, 0, 0),
+            pl.BlockSpec((bm, S * n_kv, D), lambda b, len_ref, start_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, S * n_kv, D), lambda b, len_ref: (b, 0, 0),
+            pl.BlockSpec((bm, S * n_kv, D), lambda b, len_ref, start_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, S, n_sc), lambda b, len_ref: (b, 0, 0),
+            pl.BlockSpec((bm, S, n_sc), lambda b, len_ref, start_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, S, n_sc), lambda b, len_ref: (b, 0, 0),
+            pl.BlockSpec((bm, S, n_sc), lambda b, len_ref, start_ref: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, n_kv, groups * D),
-                               lambda b, len_ref: (b, 0, 0),
+                               lambda b, len_ref, start_ref: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -138,5 +144,13 @@ def decode_attention(
             transcendentals=B * n_q * S,
         ),
         interpret=interpret,
-    )(kv_len, q, k2, v2, k_scale, v_scale)
+    )(kv_len, kv_start, q, k2, v2, k_scale, v_scale)
     return out.reshape(B, n_q, D)
+
+
+def decode_attention_supported(k: jax.Array, vmem_budget: int = 4 * 2 ** 20
+                               ) -> bool:
+    """Whether the per-program KV block fits the kernel's VMEM budget at
+    bm=1 (the gate callers use before selecting the fused path)."""
+    _, S, n_kv, D = k.shape
+    return 2 * S * n_kv * D * k.dtype.itemsize <= vmem_budget

@@ -104,6 +104,16 @@ def quantize_act_per_token(
     return q, scale
 
 
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(token, head) absmax int8 quant for KV-cache writes.
+    x: [..., hd] -> (int8 [..., hd], scale [...])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def quantize_act_asymmetric(
     x: jax.Array, bits: int = 4
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

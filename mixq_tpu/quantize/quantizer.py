@@ -47,8 +47,10 @@ def resolve_specs(qcfg: QuantConfig) -> DecoderSpecs:
 
     def spec_for(slot: str) -> LinearSpec:
         names = slot_names[slot]
-        if any(n in qcfg.weight_only_names for n in names):
-            return LinearSpec(w_bit=8, a_bit=16, version="WEIGHT_ONLY",
+        if (qcfg.version == "WEIGHT_ONLY"
+                or any(n in qcfg.weight_only_names for n in names)):
+            return LinearSpec(w_bit=qcfg.w_bit, a_bit=16,
+                              version="WEIGHT_ONLY",
                               outlier_budget=qcfg.outlier_budget)
         w_bit, a_bit = qcfg.w_bit, qcfg.a_bit
         if qcfg.w_bit < 8 and any(n in qcfg.eightbit_only_names for n in names):
