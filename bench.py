@@ -66,9 +66,10 @@ def main():
         specs = resolve_specs(QuantConfig.w4a4())
     else:
         specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
-    if os.environ.get("BENCH_ATTN", "xla") == "pallas":
+    attn_impl = os.environ.get("BENCH_ATTN", "xla")
+    if attn_impl != "xla":
         import dataclasses
-        specs = dataclasses.replace(specs, attn_impl="pallas")
+        specs = dataclasses.replace(specs, attn_impl=attn_impl)
 
     t0 = time.time()
     params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,

@@ -112,9 +112,11 @@ class DecoderSpecs:
     up: LinearSpec = LinearSpec(version="FP16", w_bit=16)
     gate: LinearSpec = LinearSpec(version="FP16", w_bit=16)
     down: LinearSpec = LinearSpec(version="FP16", w_bit=16)
-    # decode attention implementation: "xla" einsum or the fused "pallas"
-    # kernel (streams int8 KV without fp materialization; T=1 steps only,
-    # falls back to xla for prefill / windowed / padded-prompt cases)
+    # decode attention implementation:
+    #   "xla"      einsum with bf16 operands (default)
+    #   "xla_int8" both attention contractions int8 x int8 (q and probs
+    #              absmax-quantized; requires int8 KV) — no K/V widening
+    #   "pallas"   fused VPU kernel (T=1 steps; falls back otherwise)
     attn_impl: str = "xla"
 
     @classmethod
@@ -307,7 +309,8 @@ def forward(
         return attend(
             q, k_c, v_c, q_slot, kv_len,
             kv_start=kv_start, sliding_window=cfg.sliding_window,
-            k_scale=ks_c, v_scale=vs_c)
+            k_scale=ks_c, v_scale=vs_c,
+            int8_compute=specs.attn_impl == "xla_int8")
 
     if params.stacked is not None and slot_lengths is not None:
         raise NotImplementedError(

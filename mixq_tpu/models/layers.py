@@ -273,9 +273,12 @@ def attend(
     kv_start: Optional[jax.Array] = None,  # [B] int32 — first real slot per
                                # row (left-padded prompts); slots before it
                                # are masked out
-    sliding_window: Optional[int] = None,
+    sliding_window: Optional[jax.Array] = None,
     k_scale: Optional[jax.Array] = None,   # [B, S, n_kv] (int8 KV)
     v_scale: Optional[jax.Array] = None,
+    int8_compute: bool = False,  # quantize q/probs so both contractions run
+                               # int8 x int8 on the MXU (needs int8 KV) —
+                               # no K/V widening at all
 ) -> jax.Array:
     """Masked multi-head attention over a static-shape KV buffer.
 
@@ -302,9 +305,23 @@ def attend(
     # scales are applied AFTER the contraction (on the small scores/probs
     # tensors), so the big KV buffers are read as int8 and never expanded
     # to fp in HBM.
-    scores = jnp.einsum(
-        "bthgd,bshd->bhgts", qf.astype(op_dtype), k.astype(op_dtype),
-        preferred_element_type=jnp.float32) * scale
+    use_int8 = int8_compute and k.dtype == jnp.int8 and k_scale is not None
+    if use_int8:
+        # per-(b,t,h,g) absmax-int8 q: both operands of the QK contraction
+        # are int8, so the MXU reads the cache natively (SageAttention-style)
+        q_absmax = jnp.max(jnp.abs(qf.astype(jnp.float32)), axis=-1,
+                           keepdims=True)
+        q_sc = jnp.maximum(q_absmax / 127.0, 1e-8)
+        q_i8 = jnp.clip(jnp.round(qf / q_sc), -127, 127).astype(jnp.int8)
+        acc = jnp.einsum("bthgd,bshd->bhgts", q_i8, k,
+                         preferred_element_type=jnp.int32)
+        # q_sc: [B,T,h,g,1] -> [B,h,g,T,1]
+        scores = acc.astype(jnp.float32) * jnp.transpose(
+            q_sc, (0, 2, 3, 1, 4)) * scale
+    else:
+        scores = jnp.einsum(
+            "bthgd,bshd->bhgts", qf.astype(op_dtype), k.astype(op_dtype),
+            preferred_element_type=jnp.float32) * scale
     if k_scale is not None:
         scores = scores * jnp.transpose(
             k_scale, (0, 2, 1))[:, :, None, None, :]         # [B,h,1,1,S]
@@ -329,7 +346,17 @@ def attend(
     if v_scale is not None:
         probs = probs * jnp.transpose(
             v_scale, (0, 2, 1))[:, :, None, None, :]
-    out = jnp.einsum(
-        "bhgts,bshd->bthgd", probs.astype(op_dtype),
-        v.astype(op_dtype), preferred_element_type=jnp.float32)
+    if use_int8:
+        # probs >= 0: per-(b,h,g,t) absmax-int8; PV contraction int8 too
+        p_absmax = jnp.max(probs, axis=-1, keepdims=True)
+        p_sc = jnp.maximum(p_absmax / 127.0, 1e-12)
+        p_i8 = jnp.clip(jnp.round(probs / p_sc), 0, 127).astype(jnp.int8)
+        acc = jnp.einsum("bhgts,bshd->bthgd", p_i8, v,
+                         preferred_element_type=jnp.int32)
+        # p_sc: [B,h,g,T,1] -> [B,T,h,g,1]
+        out = acc.astype(jnp.float32) * jnp.transpose(p_sc, (0, 3, 1, 2, 4))
+    else:
+        out = jnp.einsum(
+            "bhgts,bshd->bthgd", probs.astype(op_dtype),
+            v.astype(op_dtype), preferred_element_type=jnp.float32)
     return out.reshape(B, T, n_q, D).astype(q.dtype)
