@@ -40,8 +40,10 @@ class LinearSpec:
     a_bit: int = 8              # 4 | 8 | 16
     version: str = "MIX"        # "MIX" | "QUIK" | "WEIGHT_ONLY" | "FP16"
     outlier_budget: int = 128
-    fuse: str = "none"          # "none" | "silu" | "gelu"
+    fuse: str = "none"          # "none" | "silu" | "gelu" | "gelu_new"
     out_dtype: str = "bfloat16"
+    group_size: int = -1        # >0: per-(K-group, out-channel) weight scales
+                                # (reference q_group_size); -1 = per-channel
 
     @property
     def odtype(self):
@@ -165,7 +167,6 @@ def mixed_linear_prepared(
     """Mixed int GEMM on a pre-quantized activation (the reference's
     `forward_without_precondition[FusedSilu]`, linear.py:292-376)."""
     q_w = int_weight(params, spec)
-    acc = int8_matmul(act.q_x, q_w)
     outlier_part = None
     if act.x_outlier is not None and params.w_outlier is not None:
         outlier_part = jnp.dot(
@@ -173,9 +174,19 @@ def mixed_linear_prepared(
             params.w_outlier.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
-    y = Q.dequant_epilogue(
-        acc, act.x_scale, params.w_scale, outlier_part, jnp.float32
-    )
+    if params.w_scale.ndim == 2:   # group-quantized weights [G, N]
+        lead = act.q_x.shape[:-1]
+        y = Q.grouped_int8_matmul_dequant(
+            act.q_x.reshape(-1, act.q_x.shape[-1]),
+            act.x_scale.reshape(-1, 1), q_w, params.w_scale,
+        ).reshape(*lead, q_w.shape[1])
+        if outlier_part is not None:
+            y = y + outlier_part
+    else:
+        acc = int8_matmul(act.q_x, q_w)
+        y = Q.dequant_epilogue(
+            acc, act.x_scale, params.w_scale, outlier_part, jnp.float32
+        )
     if params.bias is not None:
         y = y + params.bias.astype(jnp.float32)
     return _apply_fuse(y, spec.fuse, spec.odtype)
@@ -295,7 +306,15 @@ def from_float(
         w_for_quant = w * outlier_set.k_mask[:, None].astype(w.dtype)
         oset_fields = tuple(outlier_set)
 
-    if spec.w_bit == 8:
+    if spec.group_size > 0 and spec.w_bit <= 8:
+        q_w, w_scale = Q.quantize_weight_grouped(
+            w_for_quant, bits=spec.w_bit, group_size=spec.group_size)
+        if spec.w_bit == 4:
+            if pack is None:
+                pack = _INT4_NATIVE
+            if pack:
+                q_w = q_w.astype(jnp.int4)
+    elif spec.w_bit == 8:
         q_w, w_scale = Q.quantize_weight_int8(w_for_quant)
     elif spec.w_bit == 4:
         q_w, w_scale = Q.quantize_weight_int4(w_for_quant)

@@ -57,6 +57,45 @@ def quantize_weight_int4(
     return q, scale
 
 
+def quantize_weight_grouped(
+    w: jax.Array, bits: int = 4, group_size: int = 128
+) -> Tuple[jax.Array, jax.Array]:
+    """Group-wise symmetric weight quant: one scale per (K-group, out-channel)
+    (the reference's q_group_size / pseudo_quantize_tensor surface,
+    quant_config.json {"q_group_size"} + mixquant.py:284-318).
+
+    w: [K, N] -> (q int8 [K, N], scale f32 [K//group_size, N]).
+    """
+    K, N = w.shape
+    assert K % group_size == 0, f"K={K} not divisible by group {group_size}"
+    qmax = 127.0 if bits == 8 else 7.0
+    wg = w.astype(jnp.float32).reshape(K // group_size, group_size, N)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1) / qmax, 1e-8)  # [G, N]
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -qmax - 1, qmax)
+    return q.reshape(K, N).astype(jnp.int8), scale
+
+
+def grouped_int8_matmul_dequant(
+    q_x: jax.Array,             # int8 [M, K]
+    x_scale: jax.Array,         # f32 [M, 1]
+    q_w: jax.Array,             # int8 [K, N]
+    w_scale_g: jax.Array,       # f32 [G, N]
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Int8 GEMM with per-group weight scales: split the contraction into G
+    group-batched MXU matmuls and fold each group's scale into its partial
+    sum (the TPU shape of a group-quantized GEMM epilogue)."""
+    M, K = q_x.shape
+    G, N = w_scale_g.shape
+    Kg = K // G
+    xg = q_x.reshape(M, G, Kg)
+    wg = q_w.reshape(G, Kg, N)
+    acc = jnp.einsum("mgk,gkn->gmn", xg, wg,
+                     preferred_element_type=jnp.int32)        # [G, M, N]
+    y = jnp.sum(acc.astype(jnp.float32) * w_scale_g[:, None, :], axis=0)
+    return (y * x_scale).astype(out_dtype)
+
+
 def pack_int4(q: jax.Array) -> jax.Array:
     """Pack int4 values (int8 storage, [-8,7]) 2-per-byte along axis 0.
 

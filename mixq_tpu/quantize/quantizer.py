@@ -26,6 +26,20 @@ from mixq_tpu.quantize.calibration import (
 )
 
 
+# per-architecture weight-only defaults (reference weight_only_map,
+# utils/module.py:4-12 — empty for every family except GPT-J's fc_out)
+ARCH_WEIGHT_ONLY = {"gptj": ("fc_out",)}
+
+
+def apply_arch_policy(qcfg: QuantConfig, model_type: str) -> QuantConfig:
+    """Fold the architecture's default weight-only table into a QuantConfig
+    that doesn't override it."""
+    arch = ARCH_WEIGHT_ONLY.get(model_type)
+    if arch and not qcfg.weight_only_names:
+        return dataclasses.replace(qcfg, weight_only_names=arch)
+    return qcfg
+
+
 def resolve_specs(qcfg: QuantConfig) -> DecoderSpecs:
     """Resolve the per-linear precision policy from a QuantConfig.
 
@@ -61,6 +75,7 @@ def resolve_specs(qcfg: QuantConfig) -> DecoderSpecs:
             w_bit=w_bit, a_bit=a_bit,
             version=qcfg.version if qcfg.version in ("MIX", "QUIK") else "MIX",
             outlier_budget=qcfg.outlier_budget,
+            group_size=qcfg.q_group_size,
         )
 
     base = {s: spec_for(s) for s in slot_names}
@@ -84,6 +99,7 @@ def quantize_model(
     For 4-bit / QUIK: outlier sets come from calibration scales
     (top-budget channels, mixquant.py:201-208).
     """
+    qcfg = apply_arch_policy(qcfg, cfg.model_type)
     specs = resolve_specs(qcfg)
     osets: Optional[Dict[str, Q.OutlierSet]] = None
 
