@@ -129,4 +129,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:                      # pragma: no cover
+        # one retry: the remote TPU tunnel occasionally drops a request
+        print(f"bench attempt failed ({type(e).__name__}: {e}); retrying",
+              file=sys.stderr)
+        main()

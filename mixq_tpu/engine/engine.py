@@ -84,6 +84,24 @@ class InferenceEngine:
             cache = shard_kv_cache(cache, self.mesh)
         return cache
 
+    def warmup_online(self, warmup_batches, sigma: float = 6.0,
+                      max_steps: int = 2):
+        """Run the online outlier predictor's warmup lifecycle (reference
+        cache.stop warmup, linear.py:200-227): detect outlier channels on the
+        given token batches, promote their weight rows to fp, freeze, and
+        swap the engine's params. Returns {layer.slot: outlier_count}."""
+        from mixq_tpu.quantize.online import warmup_online_outliers
+
+        params, counts = warmup_online_outliers(
+            self.params, self.model_cfg, self.specs, warmup_batches,
+            sigma=sigma, max_steps=max_steps)
+        if self.mesh is not None:
+            from mixq_tpu.parallel.sharding import shard_decoder_params
+
+            params = shard_decoder_params(params, self.mesh)
+        self.params = params
+        return counts
+
     # -- one-shot convenience API ------------------------------------------
 
     def generate(

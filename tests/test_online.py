@@ -83,3 +83,24 @@ class TestOnlineOutliers:
         tv_after = 0.5 * float(jnp.max(jnp.sum(jnp.abs(
             ref - jax.nn.softmax(logits(promoted, specs)[:, -1], -1)), -1)))
         assert tv_after <= tv_before + 1e-3
+
+
+class TestEngineWarmup:
+    def test_engine_warmup_api(self):
+        """InferenceEngine.warmup_online promotes outliers and generation
+        still works (full reference warmup lifecycle through the engine)."""
+        from mixq_tpu.config import EngineConfig, QuantConfig
+        from mixq_tpu.engine import InferenceEngine
+        from mixq_tpu.quantize import quantize_model
+
+        cfg, src = outlier_model()
+        qcfg = QuantConfig.w8a8(outlier_budget=16)
+        qparams, specs = quantize_model(src, cfg, qcfg)
+        eng = InferenceEngine(qparams, cfg, specs,
+                              EngineConfig(max_seq_len=64, prefill_chunk=8))
+        batches = [np.random.RandomState(s).randint(0, cfg.vocab_size, (2, 16))
+                   for s in range(2)]
+        counts = eng.warmup_online(batches)
+        assert sum(counts.values()) > 0
+        out = eng.generate([[1, 2, 3]], max_new_tokens=4)
+        assert len(out[0]) == 4

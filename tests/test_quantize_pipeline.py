@@ -184,3 +184,32 @@ class TestCheckpoint:
             return _jfwd(p, tokens, cache, specs=s, cfg=cfg)[0]
         np.testing.assert_array_equal(
             np.asarray(run(qparams, specs)), np.asarray(run(loaded, specs2)))
+
+
+class TestShardedLoading:
+    def test_load_with_shardings(self, tmp_path):
+        """Regex-keyed shardings place leaves onto devices at read time
+        (the multi-host loading story)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mixq_tpu.parallel import make_mesh
+
+        if jax.device_count() < 8:
+            import pytest
+            pytest.skip("needs 8 virtual devices")
+        cfg = ModelConfig.tiny(num_key_value_heads=4, intermediate_size=128)
+        src = FakeSource(make_hf_style_state(cfg))
+        qcfg = QuantConfig.w8a8(outlier_budget=8)
+        qparams, specs = quantize_model(src, cfg, qcfg)
+        save_checkpoint(str(tmp_path), qparams, cfg, qcfg)
+
+        mesh = make_mesh((1, 8))
+        shardings = {
+            r"attn\.w[qkv]\.q_weight$": NamedSharding(mesh, P(None, "model")),
+            r"mlp\.(up|gate)\.q_weight$": NamedSharding(mesh, P(None, "model")),
+        }
+        loaded, cfg2, _ = load_checkpoint(str(tmp_path), shardings=shardings)
+        wq = loaded.blocks[0].attn.wq.q_weight
+        assert wq.sharding.spec == P(None, "model")
+        # unmatched leaves load unsharded (single-device sharding)
+        assert not hasattr(loaded.embed.sharding, "spec")
