@@ -11,9 +11,8 @@ sequence are bucketed to keep shapes static (SURVEY.md §7 "hard parts").
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ environment doesn't ship it; the adaptor activates wherever it's installed.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs
 from mixq_tpu.models.hf import (
     TensorSource, config_from_hf, load_hf_config, params_from_source,
 )
-from mixq_tpu.quantize.checkpoint import load_checkpoint, save_checkpoint
+from mixq_tpu.quantize.checkpoint import load_checkpoint
 from mixq_tpu.quantize.quantizer import quantize_model, resolve_specs
 
 SUPPORTED_MODEL_TYPES = (

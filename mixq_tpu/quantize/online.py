@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mixq_tpu.config import ModelConfig, QuantConfig
+from mixq_tpu.config import ModelConfig
 from mixq_tpu.models.decoder import (
     AttnParams, BlockParams, DecoderParams, DecoderSpecs, MLPParams, forward,
 )
@@ -46,6 +46,14 @@ def warmup_online_outliers(
     stats_fn = jax.jit(
         lambda p, t, c: forward(p, t, c, specs, cfg, collect_stats=True)[2])
 
+    restack = params.stacked is not None
+    if restack:  # promotion walks per-layer blocks
+        from mixq_tpu.models.decoder import (
+            stack_decoder_params, unstack_decoder_params,
+        )
+
+        params = unstack_decoder_params(params)
+
     counts: Dict[str, int] = {}
     for step, batch in enumerate(batches):
         if step >= max_steps:
@@ -62,6 +70,8 @@ def warmup_online_outliers(
                           ("up", bp.mlp.up), ("down", bp.mlp.down)):
             if lin.out_count is not None:
                 counts[f"{i}.{slot}"] = int(lin.out_count)
+    if restack:
+        params = stack_decoder_params(params)
     return params, counts
 
 

@@ -8,7 +8,7 @@ import contextlib
 import dataclasses
 import json
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 
