@@ -5,6 +5,7 @@ from mixq_tpu.parallel.mesh import (
     make_mesh,
     multihost_mesh,
 )
+from mixq_tpu.parallel.ring_attention import ring_attention
 from mixq_tpu.parallel.sharding import (
     decoder_pspecs,
     kv_cache_pspecs,
@@ -18,6 +19,7 @@ __all__ = [
     "make_mesh",
     "multihost_mesh",
     "initialize_distributed",
+    "ring_attention",
     "decoder_pspecs",
     "kv_cache_pspecs",
     "shard_decoder_params",
