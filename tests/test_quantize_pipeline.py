@@ -213,3 +213,34 @@ class TestShardedLoading:
         assert wq.sharding.spec == P(None, "model")
         # unmatched leaves load unsharded (single-device sharding)
         assert not hasattr(loaded.embed.sharding, "spec")
+
+
+class TestInt4Checkpoint:
+    def test_w4_native_roundtrip(self, tmp_path):
+        """jnp.int4 weights survive save (packed 2-per-byte) -> load with
+        identical logits."""
+        cfg = ModelConfig.tiny()
+        src = FakeSource(make_hf_style_state(cfg))
+        qcfg = QuantConfig.w4a4(outlier_budget=8)
+        batches = [np.random.RandomState(0).randint(0, cfg.vocab_size, (1, 16))]
+        qparams, specs = quantize_model(src, cfg, qcfg, calib_batches=batches)
+        assert qparams.blocks[0].attn.wq.q_weight.dtype == jnp.int4
+        save_checkpoint(str(tmp_path), qparams, cfg, qcfg)
+        # packed on disk: the q_weight shard bytes are half the int8 size
+        import json as _json
+        with open(tmp_path / "manifest.json") as f:
+            man = _json.load(f)
+        assert man["weights"]["blocks.0.attn.wq.q_weight"]["dtype"] == "int4_packed"
+
+        loaded, cfg2, qcfg2 = load_checkpoint(str(tmp_path))
+        assert loaded.blocks[0].attn.wq.q_weight.dtype == jnp.int4
+        specs2 = resolve_specs(qcfg2)
+        tokens = jnp.ones((1, 4), jnp.int32)
+
+        def run(p, s):
+            cache = KVCache.create(cfg.num_hidden_layers, 1, 8,
+                                   cfg.num_key_value_heads, cfg.head_dim_,
+                                   jnp.bfloat16)
+            return _jfwd(p, tokens, cache, specs=s, cfg=cfg)[0]
+        np.testing.assert_array_equal(
+            np.asarray(run(qparams, specs)), np.asarray(run(loaded, specs2)))
