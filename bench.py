@@ -59,7 +59,12 @@ def main():
 
     cfg = llama2_7b_cfg(n_layers) if preset == "7b" else tiny_cfg(n_layers)
     w_bits = int(os.environ.get("BENCH_W", "8"))
-    if w_bits == 4:
+    version = os.environ.get("BENCH_VERSION", "MIX")
+    if version == "QUIK":
+        from mixq_tpu.config import QuantConfig
+        from mixq_tpu.quantize import resolve_specs
+        specs = resolve_specs(QuantConfig.quik_w4a4())
+    elif w_bits == 4:
         from mixq_tpu.config import QuantConfig
         from mixq_tpu.quantize import resolve_specs
         # W4A4 with the reference policy (down/o forced 8-bit)
