@@ -100,3 +100,23 @@ class TestGenerate:
             [[1, 2, 3]], max_new_tokens=5,
             sampling=SamplingParams(temperature=0.8, top_k=10), seed=42)
         assert len(out[0]) == 5
+
+
+class TestQuikEngine:
+    def test_quik_generate(self):
+        """QUIK W4A4 params serve through the engine end-to-end."""
+        import numpy as np
+        from mixq_tpu.config import QuantConfig
+        from mixq_tpu.quantize import quantize_model
+        from test_quantize_pipeline import FakeSource, make_hf_style_state
+
+        cfg = ModelConfig.tiny()
+        src = FakeSource(make_hf_style_state(cfg))
+        calib = [np.random.RandomState(0).randint(0, cfg.vocab_size, (1, 32))]
+        qparams, specs = quantize_model(
+            src, cfg, QuantConfig.quik_w4a4(outlier_budget=8),
+            calib_batches=calib)
+        eng = InferenceEngine(qparams, cfg, specs,
+                              EngineConfig(max_seq_len=64, prefill_chunk=8))
+        out = eng.generate([[1, 2, 3]], max_new_tokens=4)
+        assert len(out[0]) == 4
