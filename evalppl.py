@@ -25,6 +25,13 @@ def main():
     ap.add_argument("--max_windows", type=int, default=None)
     ap.add_argument("--kv_dtype", default="bfloat16")
     ap.add_argument("--output_csv", default=None)
+    ap.add_argument("--calib_tokens", default=None,
+                    help=".npy token stream for 4-bit/QUIK calibration "
+                         "(the reference calibrates on Pile, "
+                         "utils/calib_data.py:6-45 — never the eval set)")
+    ap.add_argument("--allow_eval_calib", action="store_true",
+                    help="explicitly allow calibrating on the eval tokens "
+                         "(leaks eval data into quantization; off by default)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -60,7 +67,16 @@ def main():
         params, cfg, specs = AutoModel.from_pretrained(args.model_path)
     else:
         from mixq_tpu.utils.calib_data import blocks_from_tokens
-        calib = blocks_from_tokens(tokens, n_samples=16,
+        if args.calib_tokens:
+            calib_stream = np.load(args.calib_tokens)
+        elif args.allow_eval_calib:
+            calib_stream = tokens
+        else:
+            raise SystemExit(
+                "quantizing at eval time needs --calib_tokens <pile.npy>; "
+                "calibrating on the eval stream leaks eval data into the "
+                "outlier selection (pass --allow_eval_calib to override)")
+        calib = blocks_from_tokens(calib_stream, n_samples=16,
                                    block_len=min(512, args.n_ctx))
         params, cfg, specs = AutoModel.from_pretrained(
             args.model_path, quant_config=qcfg, calib_batches=calib)

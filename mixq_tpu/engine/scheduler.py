@@ -21,14 +21,17 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libmixq_sched.so")
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_NATIVE_DIR, "scheduler.cpp")
-        if os.path.exists(src):
-            try:
-                subprocess.run(["make", "-C", _NATIVE_DIR],
-                               capture_output=True, timeout=120, check=True)
-            except Exception:
+    src = os.path.join(_NATIVE_DIR, "scheduler.cpp")
+    stale = (os.path.exists(src) and os.path.exists(_LIB_PATH)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if (not os.path.exists(_LIB_PATH) or stale) and os.path.exists(src):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR],
+                           capture_output=True, timeout=120, check=True)
+        except Exception:
+            if stale:   # source changed but rebuild failed: don't run stale
                 return None
+            return None
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -57,13 +60,26 @@ def _load_native() -> Optional[ctypes.CDLL]:
     return lib
 
 
-_LIB = _load_native()
+# built/loaded lazily on first NativeScheduler construction — importing this
+# module must stay side-effect free (no subprocess `make` at import time)
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB = _load_native()
+        _LIB_TRIED = True
+    return _LIB
 
 
 class NativeScheduler:
     """ctypes wrapper over native/scheduler.cpp."""
 
     def __init__(self, n_slots: int, max_seq: int):
+        global _LIB
+        _LIB = _get_lib()
         assert _LIB is not None, "native scheduler library not available"
         self._h = _LIB.sched_create(n_slots, max_seq)
         assert self._h, "sched_create failed"
@@ -185,6 +201,6 @@ class PythonScheduler:
 
 
 def make_scheduler(n_slots: int, max_seq: int, prefer_native: bool = True):
-    if prefer_native and _LIB is not None:
+    if prefer_native and _get_lib() is not None:
         return NativeScheduler(n_slots, max_seq)
     return PythonScheduler(n_slots, max_seq)

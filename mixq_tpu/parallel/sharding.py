@@ -51,9 +51,15 @@ def linear_pspecs(
         w = P(m, None)
         n_axis = P(None)
         k_axis = P(m)
+    # group-quantized weights carry w_scale [G, N]: the group axis (a slice
+    # of K) must not be sharded — shard/replicate the N axis to match the
+    # weight's out-channel sharding (a rank-1 spec here would shard G and
+    # force GSPMD resharding collectives)
+    w_scale_spec = (P(None, m) if col_parallel else P(None, None)) \
+        if getattr(p.w_scale, "ndim", 1) == 2 else n_axis
     return MixLinearParams(
         q_weight=w,
-        w_scale=n_axis,
+        w_scale=w_scale_spec,
         w_outlier=_maybe(p.w_outlier, P(None, m) if col_parallel else P(None, None)),
         out_ind=_maybe(p.out_ind, P(None)),
         out_mask=_maybe(p.out_mask, P(None)),

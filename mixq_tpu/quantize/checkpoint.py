@@ -63,6 +63,14 @@ def save_checkpoint(
 ) -> None:
     from safetensors.numpy import save_file
 
+    if params.stacked is not None:
+        # scan-path params keep blocks stacked along a leading layer axis;
+        # persist in the canonical per-block layout so load_checkpoint (which
+        # reads 'blocks.{i}.*') round-trips (engine.warmup_online returns
+        # restacked params, so this path is reachable from normal use)
+        from mixq_tpu.models.decoder import unstack_decoder_params
+
+        params = unstack_decoder_params(params)
     os.makedirs(path, exist_ok=True)
     leaves = _leaf_paths(params)
 
@@ -174,9 +182,14 @@ def load_checkpoint(
                 break
         return reader.get(name, sh)
 
-    def linear(prefix: str) -> Optional[MixLinearParams]:
+    def linear(prefix: str, required: bool = True) -> Optional[MixLinearParams]:
         q = get(prefix + ".q_weight")
         if q is None:
+            if required:
+                raise KeyError(
+                    f"checkpoint at {path} is missing required tensor "
+                    f"'{prefix}.q_weight' (available prefixes: "
+                    f"{sorted(set(n.split('.')[0] for n in reader.names()))})")
             return None
         return MixLinearParams(
             q_weight=q,
@@ -206,13 +219,16 @@ def load_checkpoint(
             ln2_bias=get(p + ".ln2_bias"),
             mlp=MLPParams(
                 up=linear(p + ".mlp.up"),
-                gate=linear(p + ".mlp.gate"),
+                gate=linear(p + ".mlp.gate", required=False),  # no-gate archs
                 down=linear(p + ".mlp.down"),
             ),
         ))
 
+    embed = get("embed")
+    if embed is None:
+        raise KeyError(f"checkpoint at {path} is missing required 'embed'")
     params = DecoderParams(
-        embed=get("embed"),
+        embed=embed,
         blocks=tuple(blocks),
         lnf_scale=get("lnf_scale"),
         lnf_bias=get("lnf_bias"),

@@ -244,3 +244,52 @@ class TestInt4Checkpoint:
             return _jfwd(p, tokens, cache, specs=s, cfg=cfg)[0]
         np.testing.assert_array_equal(
             np.asarray(run(qparams, specs)), np.asarray(run(loaded, specs2)))
+
+
+class TestCheckpointRobustness:
+    def test_stacked_params_roundtrip(self, tmp_path):
+        """Scan-path (stacked) params must save in the canonical per-block
+        layout — engine.warmup_online returns restacked params, so this is a
+        reachable save path (round-1 advisor finding: leaves saved under
+        'stacked.*' silently loaded back as all-None blocks)."""
+        from mixq_tpu.models.decoder import stack_decoder_params
+
+        cfg = ModelConfig.tiny()
+        src = FakeSource(make_hf_style_state(cfg))
+        qcfg = QuantConfig.w8a8(outlier_budget=8)
+        qparams, specs = quantize_model(src, cfg, qcfg)
+        stacked = stack_decoder_params(qparams)
+        save_checkpoint(str(tmp_path), stacked, cfg, qcfg)
+
+        loaded, cfg2, qcfg2 = load_checkpoint(str(tmp_path))
+        assert loaded.blocks[0].attn.wq is not None
+        assert loaded.blocks[0].attn.wq.q_weight is not None
+        np.testing.assert_array_equal(
+            np.asarray(qparams.blocks[1].attn.wk.q_weight),
+            np.asarray(loaded.blocks[1].attn.wk.q_weight))
+
+    def test_missing_tensor_raises(self, tmp_path):
+        """A checkpoint missing a required linear raises instead of returning
+        a silently-None pytree."""
+        import json as _json
+
+        cfg = ModelConfig.tiny()
+        src = FakeSource(make_hf_style_state(cfg))
+        qcfg = QuantConfig.w8a8(outlier_budget=8)
+        qparams, _ = quantize_model(src, cfg, qcfg)
+        save_checkpoint(str(tmp_path), qparams, cfg, qcfg)
+        # corrupt the manifest: drop a required leaf
+        with open(tmp_path / "manifest.json") as f:
+            man = _json.load(f)
+        del man["weights"]["blocks.0.attn.wq.q_weight"]
+        with open(tmp_path / "manifest.json", "w") as f:
+            _json.dump(man, f)
+        with pytest.raises(KeyError):
+            load_checkpoint(str(tmp_path))
+
+
+class TestQuikGroupSizeRejected:
+    def test_quik_group_size_raises(self):
+        qcfg = dataclasses.replace(QuantConfig.quik_w4a4(), q_group_size=128)
+        with pytest.raises(ValueError, match="group"):
+            resolve_specs(qcfg)
