@@ -39,9 +39,11 @@ def _maybe(x, spec):
 
 
 def linear_pspecs(
-    p: MixLinearParams, col_parallel: bool
+    p: MixLinearParams, col_parallel: bool, stacked: bool = False
 ) -> MixLinearParams:
-    """PartitionSpec pytree for one quantized linear ([K, N] layout)."""
+    """PartitionSpec pytree for one quantized linear ([K, N] layout).
+    `stacked` marks scan-path params whose leaves carry a leading layer
+    axis (so a per-channel scale is rank 2, a grouped scale rank 3)."""
     m = MODEL_AXIS
     if col_parallel:
         w = P(None, m)
@@ -55,8 +57,9 @@ def linear_pspecs(
     # of K) must not be sharded — shard/replicate the N axis to match the
     # weight's out-channel sharding (a rank-1 spec here would shard G and
     # force GSPMD resharding collectives)
-    w_scale_spec = (P(None, m) if col_parallel else P(None, None)) \
-        if getattr(p.w_scale, "ndim", 1) == 2 else n_axis
+    grouped = getattr(p.w_scale, "ndim", 1) == (3 if stacked else 2)
+    w_scale_spec = ((P(None, m) if col_parallel else P(None, None))
+                    if grouped else n_axis)
     return MixLinearParams(
         q_weight=w,
         w_scale=w_scale_spec,
@@ -70,23 +73,25 @@ def linear_pspecs(
     )
 
 
-def _block_pspecs(bp: BlockParams) -> BlockParams:
+def _block_pspecs(bp: BlockParams, stacked: bool = False) -> BlockParams:
     return BlockParams(
         ln1_scale=P(None),
         ln1_bias=_maybe(bp.ln1_bias, P(None)),
         attn=AttnParams(
-            wq=linear_pspecs(bp.attn.wq, col_parallel=True),
-            wk=linear_pspecs(bp.attn.wk, col_parallel=True),
-            wv=linear_pspecs(bp.attn.wv, col_parallel=True),
-            wo=linear_pspecs(bp.attn.wo, col_parallel=False),
+            wq=linear_pspecs(bp.attn.wq, col_parallel=True, stacked=stacked),
+            wk=linear_pspecs(bp.attn.wk, col_parallel=True, stacked=stacked),
+            wv=linear_pspecs(bp.attn.wv, col_parallel=True, stacked=stacked),
+            wo=linear_pspecs(bp.attn.wo, col_parallel=False, stacked=stacked),
         ),
         ln2_scale=_maybe(bp.ln2_scale, P(None)),
         ln2_bias=_maybe(bp.ln2_bias, P(None)),
         mlp=MLPParams(
-            up=linear_pspecs(bp.mlp.up, col_parallel=True),
+            up=linear_pspecs(bp.mlp.up, col_parallel=True, stacked=stacked),
             gate=(None if bp.mlp.gate is None
-                  else linear_pspecs(bp.mlp.gate, col_parallel=True)),
-            down=linear_pspecs(bp.mlp.down, col_parallel=False),
+                  else linear_pspecs(bp.mlp.gate, col_parallel=True,
+                                     stacked=stacked)),
+            down=linear_pspecs(bp.mlp.down, col_parallel=False,
+                               stacked=stacked),
         ),
     )
 
@@ -96,7 +101,7 @@ def decoder_pspecs(params: DecoderParams) -> DecoderParams:
     stacked form; stacked leaves get an unsharded leading layer axis)."""
     stacked_spec = None
     if params.stacked is not None:
-        base = _block_pspecs(params.stacked)
+        base = _block_pspecs(params.stacked, stacked=True)
         stacked_spec = jax.tree.map(
             lambda s: P(None, *s), base,
             is_leaf=lambda x: isinstance(x, P))
