@@ -97,6 +97,11 @@ class ModelConfig:
     rope_style: str = "neox"           # "neox" (half-rotate) | "gptj" (interleaved)
     rotary_dim: Optional[int] = None   # partial rotary (gptj/chatglm)
     sliding_window: Optional[int] = None
+    alibi: bool = False                # ALiBi additive attention bias instead
+                                       # of rotary (Baichuan-13B, falcon-alibi;
+                                       # reference QuantAttentionFusedBaichuan13B,
+                                       # modules/fused/attn.py:283-470). Implies
+                                       # rope_style "none".
 
     @property
     def head_dim_(self) -> int:

@@ -284,9 +284,19 @@ def forward(
     kv_len = (slot_lengths + 1 if slot_lengths is not None
               else cache.length + T_)
 
+    from mixq_tpu.models.layers import alibi_slopes
+    alibi = alibi_slopes(cfg.num_attention_heads) if cfg.alibi else None
+    if alibi is not None and cfg.model_type == "falcon":
+        # falcon applies (scores + alibi) * inv_norm_factor — i.e. the bias is
+        # effectively slope/sqrt(hd) (modeling_falcon.py sdpa path divides the
+        # alibi mask by sqrt(head_dim)); baichuan-13b adds raw slopes after
+        # scaling. attend() uses the baichuan convention, so pre-scale here.
+        alibi = alibi / jnp.sqrt(jnp.float32(cfg.head_dim_))
+
     use_fused_attn = (
         specs.attn_impl == "pallas" and T == 1
-        and cfg.sliding_window is None and jax.default_backend() == "tpu"
+        and cfg.sliding_window is None and alibi is None
+        and jax.default_backend() == "tpu"
     )
     if use_fused_attn:
         from mixq_tpu.ops.pallas.decode_attention import (
@@ -305,12 +315,12 @@ def forward(
             return attend_chunked(
                 q, k_c, v_c, q_slot, kv_len,
                 kv_start=kv_start, sliding_window=cfg.sliding_window,
-                k_scale=ks_c, v_scale=vs_c)
+                k_scale=ks_c, v_scale=vs_c, alibi=alibi)
         return attend(
             q, k_c, v_c, q_slot, kv_len,
             kv_start=kv_start, sliding_window=cfg.sliding_window,
             k_scale=ks_c, v_scale=vs_c,
-            int8_compute=specs.attn_impl == "xla_int8")
+            int8_compute=specs.attn_impl == "xla_int8", alibi=alibi)
 
     if params.stacked is not None and slot_lengths is not None:
         raise NotImplementedError(

@@ -47,6 +47,13 @@ def config_from_hf(hf: Dict) -> ModelConfig:
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
     )
     if mt in ("llama", "aquila", "baichuan", "mistral", "qwen2"):
+        # Baichuan-13B uses ALiBi instead of rotary; the reference selects the
+        # eager additive-bias attention by num_hidden_layers==40
+        # (models/baichuan.py:81). Some Baichuan2 configs also carry an
+        # explicit position_embedding field.
+        alibi = mt == "baichuan" and (
+            common["num_hidden_layers"] == 40
+            or str(hf.get("position_embedding", "")).upper() == "ALIBI")
         return ModelConfig(
             **common,
             intermediate_size=hf["intermediate_size"],
@@ -60,6 +67,8 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             sliding_window=(hf.get("sliding_window")
                             if hf.get("use_sliding_window", mt == "mistral")
                             else None),
+            alibi=alibi,
+            rope_style="none" if alibi else "neox",
         )
     if mt == "falcon":
         n_head = common["num_attention_heads"]
@@ -74,6 +83,8 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             hidden_act="gelu",
             layernorm="layernorm",
             parallel_attn_mlp=hf.get("parallel_attn", True),
+            alibi=hf.get("alibi", False),
+            rope_style="none" if hf.get("alibi", False) else "neox",
         )
     if mt == "gptj":
         return ModelConfig(

@@ -123,6 +123,25 @@ def apply_rope(
     return out
 
 
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """Per-head ALiBi slopes (the train-short-test-long additive bias;
+    reference consumes them baked into Baichuan-13B's additive attention_mask,
+    modules/fused/attn.py:283-470). Matches the canonical formula (also HF
+    falcon's build_alibi_tensor): geometric sequence from
+    2^(-8/closest_pow2), with interleaved extra slopes for non-power-of-2
+    head counts."""
+    import math
+
+    closest = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
+    slopes = [base ** i for i in range(1, closest + 1)]
+    if closest != n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * closest) - 3)))
+        slopes += [extra_base ** i
+                   for i in range(1, 2 * (n_heads - closest) + 1, 2)]
+    return jnp.asarray(slopes, jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # KV cache
 # ---------------------------------------------------------------------------
@@ -241,6 +260,7 @@ def attend_chunked(
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     chunk: int = 256,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Query-chunked attention for long prefill: identical math to attend(),
     but scores materialize per query block ([B, h, g, chunk, S] instead of
@@ -250,7 +270,7 @@ def attend_chunked(
     B, T, n_q, D = q.shape
     if T % chunk != 0 or q_slot.ndim != 1:
         return attend(q, k, v, q_slot, kv_valid_len, kv_start,
-                      sliding_window, k_scale, v_scale)
+                      sliding_window, k_scale, v_scale, alibi=alibi)
     n_chunks = T // chunk
     q_c = q.reshape(B, n_chunks, chunk, n_q, D)
     slot_c = q_slot.reshape(n_chunks, chunk)
@@ -258,7 +278,7 @@ def attend_chunked(
     def one(args):
         q_i, slot_i = args
         return attend(q_i, k, v, slot_i, kv_valid_len, kv_start,
-                      sliding_window, k_scale, v_scale)
+                      sliding_window, k_scale, v_scale, alibi=alibi)
 
     out = jax.lax.map(one, (jnp.moveaxis(q_c, 1, 0), slot_c))
     return jnp.moveaxis(out, 0, 1).reshape(B, T, n_q, D)
@@ -279,6 +299,11 @@ def attend(
     int8_compute: bool = False,  # quantize q/probs so both contractions run
                                # int8 x int8 on the MXU (needs int8 KV) —
                                # no K/V widening at all
+    alibi: Optional[jax.Array] = None,  # [n_q] per-head ALiBi slopes; adds
+                               # slope * (kv_pos - q_pos) to the scores
+                               # (relative form — shift-invariant under
+                               # softmax, so left-padding needs no special
+                               # casing). Replaces rotary (Baichuan-13B).
 ) -> jax.Array:
     """Masked multi-head attention over a static-shape KV buffer.
 
@@ -330,6 +355,14 @@ def attend(
     # q_slot may be [T] (uniform batch) or [B, T] (per-slot positions for
     # continuous batching); kv_valid_len may be scalar or [B]
     q_slot_b = q_slot if q_slot.ndim == 2 else q_slot[None]          # [B?,T]
+    if alibi is not None:
+        # additive bias slope_h * (kv_pos - q_pos) <= 0 on the causal part;
+        # [n_q] slopes grouped to [n_kv, groups] to match the score layout
+        sl = alibi.reshape(n_kv, groups)
+        dist = (kv_pos[None, None, :] - q_slot_b[:, :, None]
+                ).astype(jnp.float32)                                # [B?,T,S]
+        scores = scores + (sl[:, :, None, None]
+                           * dist[:, None, None, :, :])              # [B?,h,g,T,S]
     causal = kv_pos[None, None, :] <= q_slot_b[:, :, None]           # [B?,T,S]
     len_b = jnp.asarray(kv_valid_len)
     len_b = len_b if len_b.ndim == 1 else len_b[None]                # [B?]

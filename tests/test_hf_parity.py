@@ -168,3 +168,78 @@ class TestQuantizedParity:
         p_got = np.asarray(jax.nn.softmax(logits[:, -1], axis=-1))
         tv = 0.5 * np.abs(p_ref - p_got).sum(-1).max()
         assert tv < 0.1, f"total variation {tv}"
+
+
+class TestAlibi:
+    def test_falcon_alibi(self):
+        """falcon-rw-style ALiBi (no rotary, additive bias) — exercises the
+        alibi path in attend() against HF's build_alibi_tensor reference."""
+        from transformers import FalconConfig, FalconForCausalLM
+        cfg = FalconConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, multi_query=True, parallel_attn=True,
+            bias=False, new_decoder_architecture=False, alibi=True,
+        )
+        torch.manual_seed(13)
+        model = FalconForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=13))
+        assert mcfg.alibi and mcfg.rope_style == "none"
+
+    def test_falcon_alibi_nonpow2_heads(self):
+        """Non-power-of-2 head count hits the interleaved extra-slope branch
+        of the ALiBi slope formula."""
+        from transformers import FalconConfig, FalconForCausalLM
+        cfg = FalconConfig(
+            vocab_size=128, hidden_size=96, num_hidden_layers=1,
+            num_attention_heads=6, multi_query=True, parallel_attn=True,
+            bias=False, new_decoder_architecture=False, alibi=True,
+        )
+        torch.manual_seed(14)
+        model = FalconForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=14))
+
+    def test_alibi_decode_matches_prefill(self):
+        """Chunked prefill + per-token decode under ALiBi produce the same
+        final logits as one full-prompt forward (position handling for the
+        relative bias is consistent across cache states)."""
+        from mixq_tpu.config import ModelConfig
+        from mixq_tpu.models.decoder import forward, init_decoder_params
+
+        cfg = ModelConfig.tiny(alibi=True, rope_style="none",
+                               num_attention_heads=4, num_key_value_heads=2)
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg, FP32)
+        toks = tiny_tokens(cfg.vocab_size, B=1, T=8, seed=15)
+
+        cache = KVCache.create(cfg.num_hidden_layers, 1, 16,
+                               cfg.num_key_value_heads, cfg.head_dim_,
+                               jnp.float32)
+        full, _ = _jfwd(params, jnp.asarray(toks), cache, specs=FP32, cfg=cfg)
+
+        cache2 = KVCache.create(cfg.num_hidden_layers, 1, 16,
+                                cfg.num_key_value_heads, cfg.head_dim_,
+                                jnp.float32)
+        _, cache2 = _jfwd(params, jnp.asarray(toks[:, :5]), cache2,
+                          specs=FP32, cfg=cfg)
+        last = None
+        for t in range(5, 8):
+            last, cache2 = _jfwd(params, jnp.asarray(toks[:, t:t + 1]),
+                                 cache2, specs=FP32, cfg=cfg)
+        np.testing.assert_allclose(
+            np.asarray(last[:, 0]), np.asarray(full[:, -1]),
+            rtol=1e-4, atol=1e-4)
+
+    def test_baichuan13b_selects_alibi(self):
+        """The registry maps a Baichuan-13B-shaped config (40 layers — the
+        reference's selection rule, models/baichuan.py:81) to ALiBi."""
+        from mixq_tpu.models.hf import config_from_hf
+        mcfg = config_from_hf(dict(
+            model_type="baichuan", vocab_size=64000, hidden_size=5120,
+            intermediate_size=13696, num_hidden_layers=40,
+            num_attention_heads=40, model_max_length=4096))
+        assert mcfg.alibi and mcfg.rope_style == "none"
+        # 7B-shaped baichuan keeps rotary
+        mcfg7 = config_from_hf(dict(
+            model_type="baichuan", vocab_size=64000, hidden_size=4096,
+            intermediate_size=11008, num_hidden_layers=32,
+            num_attention_heads=32))
+        assert not mcfg7.alibi and mcfg7.rope_style == "neox"
