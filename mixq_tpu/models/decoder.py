@@ -284,6 +284,17 @@ def forward(
     kv_len = (slot_lengths + 1 if slot_lengths is not None
               else cache.length + T_)
 
+    # sliding-window models reclaim KV slots (ring buffer): a window-sized
+    # cache serves unbounded decode (reference WindowedCache.roll_kv,
+    # fused/cache.py:25-34, as an index transform instead of a copy)
+    ring = cfg.sliding_window is not None
+    if ring and T > 1 and cache.max_seq < cfg.sliding_window + T:
+        # a prefill chunk that straddles the wrap point would overwrite
+        # positions still inside an in-chunk query's window
+        raise ValueError(
+            f"ring KV cache needs max_seq >= sliding_window + chunk "
+            f"({cache.max_seq} < {cfg.sliding_window} + {T})")
+
     from mixq_tpu.models.layers import alibi_slopes
     alibi = alibi_slopes(cfg.num_attention_heads) if cfg.alibi else None
     if alibi is not None and cfg.model_type == "falcon":
@@ -315,12 +326,13 @@ def forward(
             return attend_chunked(
                 q, k_c, v_c, q_slot, kv_len,
                 kv_start=kv_start, sliding_window=cfg.sliding_window,
-                k_scale=ks_c, v_scale=vs_c, alibi=alibi)
+                k_scale=ks_c, v_scale=vs_c, alibi=alibi, ring=ring)
         return attend(
             q, k_c, v_c, q_slot, kv_len,
             kv_start=kv_start, sliding_window=cfg.sliding_window,
             k_scale=ks_c, v_scale=vs_c,
-            int8_compute=specs.attn_impl == "xla_int8", alibi=alibi)
+            int8_compute=specs.attn_impl == "xla_int8", alibi=alibi,
+            ring=ring)
 
     if params.stacked is not None and slot_lengths is not None:
         raise NotImplementedError(
@@ -341,28 +353,41 @@ def forward(
                 nonlocal k_all, v_all, ks_all, vs_all
                 k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
                 v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
-                at4 = (0, cache.length, 0, 0)
+                write_pos = cache.length % cache.max_seq if ring else cache.length
+                at4 = (0, write_pos, 0, 0)
+                at3 = (0, write_pos, 0)
+                if ring and T_ > 1:
+                    # a prefill chunk may straddle the wrap point: scatter at
+                    # per-token ring slots (DUS would clamp at the edge)
+                    slots = (cache.length
+                             + jnp.arange(T_, dtype=jnp.int32)) % cache.max_seq
+
+                    def put(buf, val):    # buf [B,S,...], val [B,T,...]
+                        return buf.at[:, slots].set(val.astype(buf.dtype))
+                else:
+                    slots = None
+
+                    def put(buf, val):
+                        at = at4 if buf.ndim == 4 else at3
+                        return jax.lax.dynamic_update_slice(
+                            buf, val.astype(buf.dtype), at)
                 if quantized_kv:
                     ks_c = jax.lax.dynamic_index_in_dim(ks_all, i, 0, False)
                     vs_c = jax.lax.dynamic_index_in_dim(vs_all, i, 0, False)
                     qk, sk = Q.quantize_kv(k)
                     qv, sv = Q.quantize_kv(v)
-                    k_c = jax.lax.dynamic_update_slice(k_c, qk, at4)
-                    v_c = jax.lax.dynamic_update_slice(v_c, qv, at4)
-                    ks_c = jax.lax.dynamic_update_slice(
-                        ks_c, sk, (0, cache.length, 0))
-                    vs_c = jax.lax.dynamic_update_slice(
-                        vs_c, sv, (0, cache.length, 0))
+                    k_c = put(k_c, qk)
+                    v_c = put(v_c, qv)
+                    ks_c = put(ks_c, sk)
+                    vs_c = put(vs_c, sv)
                     ks_all = jax.lax.dynamic_update_index_in_dim(
                         ks_all, ks_c, i, 0)
                     vs_all = jax.lax.dynamic_update_index_in_dim(
                         vs_all, vs_c, i, 0)
                 else:
                     ks_c = vs_c = None
-                    k_c = jax.lax.dynamic_update_slice(
-                        k_c, k.astype(k_c.dtype), at4)
-                    v_c = jax.lax.dynamic_update_slice(
-                        v_c, v.astype(v_c.dtype), at4)
+                    k_c = put(k_c, k)
+                    v_c = put(v_c, v)
                 k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_c, i, 0)
                 v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_c, i, 0)
                 return attend_over(q, k_c, v_c, ks_c, vs_c)
@@ -391,9 +416,10 @@ def forward(
             def kv_apply(q, k, v, i=i):
                 nonlocal cache
                 if slot_lengths is not None:
-                    cache = cache.update_layer_slots(i, k, v, slot_lengths)
+                    cache = cache.update_layer_slots(i, k, v, slot_lengths,
+                                                     ring=ring)
                 else:
-                    cache = cache.update_layer(i, k, v)  # in-place DUS
+                    cache = cache.update_layer(i, k, v, ring=ring)  # in-place DUS
                 k_c, v_c, ks_c, vs_c = cache.layer_kv(i)
                 return attend_over(q, k_c, v_c, ks_c, vs_c)
 

@@ -187,15 +187,47 @@ class KVCache(NamedTuple):
         return self.k_scale is not None
 
     def update_layer(
-        self, layer: int, k_new: jax.Array, v_new: jax.Array
+        self, layer: int, k_new: jax.Array, v_new: jax.Array,
+        ring: bool = False,
     ) -> "KVCache":
         """Write [B, T, n_kv, hd] at the current length offset for `layer`.
-        Length advance happens once per step via `advance`."""
+        Length advance happens once per step via `advance`.
+
+        ring=True reclaims slots for sliding-window models (the reference's
+        WindowedCache.roll_kv, fused/cache.py:25-34, without the copy): writes
+        land at position % S, so a window-sized cache serves unbounded decode.
+        attend() reconstructs each slot's absolute position from the valid
+        length, so masks stay correct across wraps."""
+        T = k_new.shape[1]
+        S = self.max_seq
+        if ring and T > 1:
+            # chunk may straddle the wrap point: scatter at per-token slots
+            slots = (self.length + jnp.arange(T, dtype=jnp.int32)) % S
+            if self.quantized:
+                qk, sk = Q.quantize_kv(k_new)
+                qv, sv = Q.quantize_kv(v_new)
+                return self._replace(
+                    k=self.k.at[layer, :, slots].set(
+                        jnp.moveaxis(qk, 0, 1)),
+                    v=self.v.at[layer, :, slots].set(
+                        jnp.moveaxis(qv, 0, 1)),
+                    k_scale=self.k_scale.at[layer, :, slots].set(
+                        jnp.moveaxis(sk, 0, 1)),
+                    v_scale=self.v_scale.at[layer, :, slots].set(
+                        jnp.moveaxis(sv, 0, 1)),
+                )
+            return self._replace(
+                k=self.k.at[layer, :, slots].set(
+                    jnp.moveaxis(k_new.astype(self.k.dtype), 0, 1)),
+                v=self.v.at[layer, :, slots].set(
+                    jnp.moveaxis(v_new.astype(self.v.dtype), 0, 1)),
+            )
+        pos = self.length % S if ring else self.length
         if self.quantized:
             qk, sk = Q.quantize_kv(k_new)
             qv, sv = Q.quantize_kv(v_new)
-            at5 = (layer, 0, self.length, 0, 0)
-            at4 = (layer, 0, self.length, 0)
+            at5 = (layer, 0, pos, 0, 0)
+            at4 = (layer, 0, pos, 0)
             return self._replace(
                 k=jax.lax.dynamic_update_slice(self.k, qk[None], at5),
                 v=jax.lax.dynamic_update_slice(self.v, qv[None], at5),
@@ -203,21 +235,23 @@ class KVCache(NamedTuple):
                 v_scale=jax.lax.dynamic_update_slice(self.v_scale, sv[None], at4),
             )
         k = jax.lax.dynamic_update_slice(
-            self.k, k_new[None].astype(self.k.dtype), (layer, 0, self.length, 0, 0)
+            self.k, k_new[None].astype(self.k.dtype), (layer, 0, pos, 0, 0)
         )
         v = jax.lax.dynamic_update_slice(
-            self.v, v_new[None].astype(self.v.dtype), (layer, 0, self.length, 0, 0)
+            self.v, v_new[None].astype(self.v.dtype), (layer, 0, pos, 0, 0)
         )
         return self._replace(k=k, v=v)
 
     def update_layer_slots(
         self, layer: int, k_new: jax.Array, v_new: jax.Array,
-        slot_lengths: jax.Array,
+        slot_lengths: jax.Array, ring: bool = False,
     ) -> "KVCache":
         """Decode-step write at per-row positions (continuous batching):
         k_new [B, 1, n_kv, hd] scattered to [layer, b, slot_lengths[b]]."""
         B = k_new.shape[0]
         rows = jnp.arange(B)
+        if ring:
+            slot_lengths = slot_lengths % self.max_seq
         if self.quantized:
             qk, sk = Q.quantize_kv(k_new[:, 0])
             qv, sv = Q.quantize_kv(v_new[:, 0])
@@ -261,6 +295,7 @@ def attend_chunked(
     v_scale: Optional[jax.Array] = None,
     chunk: int = 256,
     alibi: Optional[jax.Array] = None,
+    ring: bool = False,
 ) -> jax.Array:
     """Query-chunked attention for long prefill: identical math to attend(),
     but scores materialize per query block ([B, h, g, chunk, S] instead of
@@ -270,7 +305,8 @@ def attend_chunked(
     B, T, n_q, D = q.shape
     if T % chunk != 0 or q_slot.ndim != 1:
         return attend(q, k, v, q_slot, kv_valid_len, kv_start,
-                      sliding_window, k_scale, v_scale, alibi=alibi)
+                      sliding_window, k_scale, v_scale, alibi=alibi,
+                      ring=ring)
     n_chunks = T // chunk
     q_c = q.reshape(B, n_chunks, chunk, n_q, D)
     slot_c = q_slot.reshape(n_chunks, chunk)
@@ -278,7 +314,8 @@ def attend_chunked(
     def one(args):
         q_i, slot_i = args
         return attend(q_i, k, v, slot_i, kv_valid_len, kv_start,
-                      sliding_window, k_scale, v_scale, alibi=alibi)
+                      sliding_window, k_scale, v_scale, alibi=alibi,
+                      ring=ring)
 
     out = jax.lax.map(one, (jnp.moveaxis(q_c, 1, 0), slot_c))
     return jnp.moveaxis(out, 0, 1).reshape(B, T, n_q, D)
@@ -304,6 +341,11 @@ def attend(
                                # (relative form — shift-invariant under
                                # softmax, so left-padding needs no special
                                # casing). Replaces rotary (Baichuan-13B).
+    ring: bool = False,        # ring-buffer KV (sliding-window reclaim):
+                               # slot s holds absolute position
+                               # s + S*floor((len-1-s)/S); masks are computed
+                               # in absolute-position space, so a window-sized
+                               # cache decodes unboundedly
 ) -> jax.Array:
     """Masked multi-head attention over a static-shape KV buffer.
 
@@ -351,28 +393,35 @@ def attend(
         scores = scores * jnp.transpose(
             k_scale, (0, 2, 1))[:, :, None, None, :]         # [B,h,1,1,S]
 
-    kv_pos = jnp.arange(S, dtype=jnp.int32)
     # q_slot may be [T] (uniform batch) or [B, T] (per-slot positions for
     # continuous batching); kv_valid_len may be scalar or [B]
     q_slot_b = q_slot if q_slot.ndim == 2 else q_slot[None]          # [B?,T]
+    len_b0 = jnp.asarray(kv_valid_len)
+    len_b0 = len_b0 if len_b0.ndim == 1 else len_b0[None]            # [B?]
+    if ring:
+        # absolute position stored in each ring slot; slots never written
+        # (len <= s) come out negative and are masked by `valid`
+        s_idx = jnp.arange(S, dtype=jnp.int32)[None]                 # [1,S]
+        kv_pos = (s_idx + S * jnp.floor_divide(
+            len_b0[:, None] - 1 - s_idx, S))[:, None, :]             # [B?,1,S]
+    else:
+        kv_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]      # [1,1,S]
     if alibi is not None:
         # additive bias slope_h * (kv_pos - q_pos) <= 0 on the causal part;
         # [n_q] slopes grouped to [n_kv, groups] to match the score layout
         sl = alibi.reshape(n_kv, groups)
-        dist = (kv_pos[None, None, :] - q_slot_b[:, :, None]
-                ).astype(jnp.float32)                                # [B?,T,S]
+        dist = (kv_pos - q_slot_b[:, :, None]).astype(jnp.float32)   # [B?,T,S]
         scores = scores + (sl[:, :, None, None]
                            * dist[:, None, None, :, :])              # [B?,h,g,T,S]
-    causal = kv_pos[None, None, :] <= q_slot_b[:, :, None]           # [B?,T,S]
-    len_b = jnp.asarray(kv_valid_len)
-    len_b = len_b if len_b.ndim == 1 else len_b[None]                # [B?]
-    valid = kv_pos[None, None, :] < len_b[:, None, None]
+    causal = kv_pos <= q_slot_b[:, :, None]                          # [B?,T,S]
+    valid = kv_pos < len_b0[:, None, None]
+    if ring:
+        valid = valid & (kv_pos >= 0)   # never-written slots come out < 0
     mask = causal & valid                                            # [B?,T,S]
     if kv_start is not None:
-        mask = mask & (kv_pos[None, None, :] >= kv_start[:, None, None])
+        mask = mask & (kv_pos >= kv_start[:, None, None])
     if sliding_window is not None:
-        mask = mask & (kv_pos[None, None, :] >
-                       q_slot_b[:, :, None] - sliding_window)
+        mask = mask & (kv_pos > q_slot_b[:, :, None] - sliding_window)
     scores = jnp.where(mask[:, None, None], scores, -1e30)
 
     probs = jax.nn.softmax(scores, axis=-1)

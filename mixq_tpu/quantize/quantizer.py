@@ -71,7 +71,7 @@ def resolve_specs(qcfg: QuantConfig) -> DecoderSpecs:
             w_bit, a_bit = 8, 8
         if qcfg.version == "FP16" or w_bit >= 16:
             return LinearSpec(version="FP16", w_bit=16)
-        if qcfg.version == "QUIK" and qcfg.q_group_size:
+        if qcfg.version == "QUIK" and qcfg.q_group_size > 0:
             # quik_linear uses per-channel w_scale [N]; grouped [G, N] scales
             # would break the w_scale broadcast and the reduced_w zero-point
             # correction (needs per-group column sums) — fail early instead
