@@ -334,9 +334,6 @@ def forward(
             int8_compute=specs.attn_impl == "xla_int8", alibi=alibi,
             ring=ring)
 
-    if params.stacked is not None and slot_lengths is not None:
-        raise NotImplementedError(
-            "slot-mode decode uses the loop path (unstacked params)")
     if params.stacked is not None:
         # scan over layers: one compiled block body (L-times smaller XLA
         # graph). The KV cache rides in the CARRY; per-layer slices are
@@ -356,7 +353,19 @@ def forward(
                 write_pos = cache.length % cache.max_seq if ring else cache.length
                 at4 = (0, write_pos, 0, 0)
                 at3 = (0, write_pos, 0)
-                if ring and T_ > 1:
+                if slot_lengths is not None:
+                    # continuous batching: T==1 decode writes scatter at
+                    # per-row positions (update_layer_slots semantics inside
+                    # the scan body — the CB engine can now run the stacked
+                    # fast-compile path)
+                    rows = jnp.arange(k.shape[0])
+                    row_pos = (slot_lengths % cache.max_seq if ring
+                               else slot_lengths)
+
+                    def put(buf, val):   # buf [B,S,...], val [B,1,...]
+                        return buf.at[rows, row_pos].set(
+                            val[:, 0].astype(buf.dtype))
+                elif ring and T_ > 1:
                     # a prefill chunk may straddle the wrap point: scatter at
                     # per-token ring slots (DUS would clamp at the edge)
                     slots = (cache.length

@@ -140,3 +140,51 @@ class TestContinuousBatchingEngine:
         results = eng.run_to_completion(eos_token_id=eos)
         assert results[rid][-1] == eos
         assert len(results[rid]) <= 8
+
+
+class TestScanPathCB:
+    def test_cb_scan_matches_cb_loop(self, model):
+        """Continuous batching over stacked (lax.scan) params — the
+        fast-compile path — produces the same tokens as the python-loop
+        params. (Round-1 gap: slot-mode decode raised NotImplementedError on
+        the scan path; the scan body now scatters per-row KV writes.)"""
+        from mixq_tpu.models.decoder import stack_decoder_params
+
+        params, cfg, specs = model
+        prompts = [[3, 5, 7], [2], [9, 4, 6, 8, 1], [1, 2]]
+
+        def run(p):
+            eng = ContinuousBatchingEngine(
+                p, cfg, specs,
+                EngineConfig(max_batch_size=4, max_seq_len=64,
+                             prefill_chunk=8))
+            for pr in prompts:
+                eng.add_request(pr, max_new_tokens=6)
+            return eng.run_to_completion()
+
+        loop = run(params)
+        scan = run(stack_decoder_params(params))
+        assert loop.keys() == scan.keys()
+        for rid in loop:
+            assert loop[rid] == scan[rid], f"request {rid} diverged"
+
+    def test_cb_scan_int8_kv(self, model):
+        """Scan-path slot decode with quantized KV scales."""
+        from mixq_tpu.models.decoder import stack_decoder_params
+
+        params, cfg, specs = model
+        prompts = [[3, 5, 7], [2, 4]]
+
+        def run(p, kv):
+            eng = ContinuousBatchingEngine(
+                p, cfg, specs,
+                EngineConfig(max_batch_size=2, max_seq_len=64,
+                             prefill_chunk=8, kv_dtype=kv))
+            for pr in prompts:
+                eng.add_request(pr, max_new_tokens=5)
+            return eng.run_to_completion()
+
+        loop = run(params, "int8")
+        scan = run(stack_decoder_params(params), "int8")
+        for rid in loop:
+            assert loop[rid] == scan[rid]
