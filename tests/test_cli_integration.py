@@ -107,3 +107,52 @@ class TestCLIs:
                 "--calib_tokens", tok_file, "--calib_samples", "2")
         with open(os.path.join(qdir, "quant_config.json")) as f:
             assert json.load(f)["w_bit"] == 4
+
+
+class TestBenchLatency:
+    def test_latency_percentiles(self, tmp_path):
+        """benchlatency emits TTFT + per-step percentiles (reference
+        benchlatency.py equivalent; round-1 version was a 14-line alias)."""
+        csv_path = str(tmp_path / "lat.csv")
+        out = run_cli("benchlatency.py", env_extra={
+            "BENCH_PRESET": "tiny", "BENCH_BATCH": "2", "BENCH_SEQ": "32",
+            "BENCH_PROMPT": "8", "BENCH_DECODE_STEPS": "8",
+            "BENCH_W": "16", "BENCH_CSV": csv_path})
+        row = json.loads(out.strip().splitlines()[-1])
+        dec = row["decode_ms"]
+        assert dec["p50"] <= dec["p95"] <= dec["p99"] <= dec["max"]
+        assert row["ttft_ms"] >= 0
+        with open(csv_path) as f:
+            header = f.readline()
+            assert "decode_p99_ms" in header
+
+
+class TestEvalCalibLeakGuard:
+    def test_eval_calibration_refused(self, hf_dir, tmp_path):
+        """Quantizing at eval time on the eval stream is refused unless
+        explicitly allowed (reference calibrates on Pile, never the eval
+        set — utils/calib_data.py:6-45)."""
+        tokens = np.random.RandomState(3).randint(0, 256, 2048).astype(np.int32)
+        tok_file = str(tmp_path / "ev.npy")
+        np.save(tok_file, tokens)
+        env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "evalppl.py"),
+             "--model_path", hf_dir, "--model_type", "mix4",
+             "--eval_tokens", tok_file, "--n_ctx", "64", "--batch", "2",
+             "--max_windows", "2"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+        assert r.returncode != 0
+        assert "calib" in (r.stderr + r.stdout).lower()
+
+    def test_separate_calib_tokens_accepted(self, hf_dir, tmp_path):
+        tokens = np.random.RandomState(4).randint(0, 256, 2048).astype(np.int32)
+        ev = str(tmp_path / "ev2.npy"); np.save(ev, tokens)
+        cal = str(tmp_path / "cal2.npy")
+        np.save(cal, np.random.RandomState(5).randint(0, 256, 4096).astype(np.int32))
+        out = run_cli("evalppl.py", "--model_path", hf_dir,
+                      "--model_type", "mix4", "--eval_tokens", ev,
+                      "--calib_tokens", cal, "--n_ctx", "64", "--batch", "2",
+                      "--max_windows", "2")
+        row = json.loads(out.strip().splitlines()[-1])
+        assert row["ppl"] > 0
