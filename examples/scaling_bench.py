@@ -45,6 +45,10 @@ def bench_tokens_per_s(params, cfg, specs, mesh, B, S, steps, kv_dtype):
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
     nxt, cache = decode(params, tokens, cache)
+    # Warm the chained-call signature too: nxt[:, None] can carry a
+    # different sharding than the initial tokens, and an untimed compile
+    # here keeps the first timed chain honest.
+    nxt, cache = decode(params, nxt[:, None], cache)
     _ = jax.device_get(nxt)
 
     def chain(n, nxt, cache):
@@ -70,7 +74,15 @@ def main():
     ap.add_argument("--kv", default="bfloat16")
     ap.add_argument("--multihost", action="store_true",
                     help="call jax.distributed.initialize() first")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu — needed because "
+                         "the TPU-relay sitecustomize overrides JAX_PLATFORMS)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.multihost:
         from mixq_tpu.parallel import initialize_distributed

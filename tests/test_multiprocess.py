@@ -1,0 +1,68 @@
+"""2-process distributed test: the multi-host code path
+(`initialize_distributed` + `multihost_mesh`, mixq_tpu/parallel/mesh.py)
+executed for real across processes, not just asserted.
+
+Two subprocesses each own 4 virtual CPU devices; together they form a
+(data=2, model=4) hybrid mesh (the ICI/DCN shape of a real pod slice),
+run one TP+DP-sharded quantized forward, and allgather logits. The test
+then recomputes the same forward single-process/unsharded and demands
+equality — covering jax.distributed bring-up, cross-process device_put
+of the quantized param pytree, and GSPMD collectives over the
+process boundary. The reference has no distributed layer to compare
+against (WORLD_SIZE=1 forced everywhere — SURVEY.md §2.9)."""
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixq_tpu.config import ModelConfig
+from mixq_tpu.models import DecoderSpecs, KVCache
+from mixq_tpu.models.decoder import forward, init_decoder_params
+from mixq_tpu.ops.mixed_linear import LinearSpec
+
+WORKER = os.path.join(os.path.dirname(__file__), "_multiprocess_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_mesh_matches_single_process(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo_root = os.path.dirname(os.path.dirname(WORKER))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    got = np.load(tmp_path / "logits.npy")
+    tokens = jnp.asarray(np.load(tmp_path / "tokens.npy"))
+
+    # Single-process unsharded reference with the same seeds/config.
+    cfg = ModelConfig.tiny(num_key_value_heads=4, intermediate_size=128)
+    specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
+    cache = KVCache.create(cfg.num_hidden_layers, tokens.shape[0], 16,
+                           cfg.num_key_value_heads, cfg.head_dim_,
+                           jnp.bfloat16)
+    ref, _ = jax.jit(forward, static_argnames=("specs", "cfg"))(
+        params, tokens, cache, specs=specs, cfg=cfg)
+    np.testing.assert_allclose(
+        got, np.asarray(ref, np.float32), rtol=1e-2, atol=1e-2)
