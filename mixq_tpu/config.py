@@ -140,6 +140,12 @@ class EngineConfig:
     mesh_shape: Tuple[int, ...] = (1, 1)
     mesh_axes: Tuple[str, ...] = ("data", "model")
     donate_kv: bool = True
+    # sequence-parallel (ring-attention) prefill: fresh-cache prefills with
+    # T >= ring_prefill_min_t shard the sequence over `ring_prefill_axis`
+    # (context parallelism — the 'data' axis carries sequence during prefill,
+    # batch during decode) while heads stay TP-sharded over 'model'
+    ring_prefill_axis: Optional[str] = None
+    ring_prefill_min_t: int = 1024
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -70,6 +70,32 @@ class InferenceEngine:
         self._decode = _step
         self._sample = _sample
 
+        # sequence-parallel (ring-attention) prefill step: context
+        # parallelism over ring_prefill_axis for long fresh-cache prompts
+        self._prefill_ring = None
+        ring_axis = self.engine_cfg.ring_prefill_axis
+        if mesh is not None and ring_axis and ring_axis in mesh.axis_names:
+            tp = mesh.shape.get("model", 1)
+            head_axis = ("model" if "model" in mesh.axis_names
+                         and mc.num_attention_heads % tp == 0
+                         and mc.num_key_value_heads % tp == 0 else None)
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def _step_ring(params, tokens, cache, kv_start):
+                logits, cache = forward(
+                    params, tokens, cache, specs, mc, kv_start,
+                    ring_mesh=mesh, ring_axis=ring_axis,
+                    ring_head_axis=head_axis)
+                return logits[:, -1, :], cache
+
+            self._prefill_ring = _step_ring
+
+    def _use_ring(self, T: int) -> bool:
+        if self._prefill_ring is None or T < self.engine_cfg.ring_prefill_min_t:
+            return False
+        # shard_map needs the sequence to divide evenly over the ring axis
+        return T % self.mesh.shape[self.engine_cfg.ring_prefill_axis] == 0
+
     def new_cache(self, batch: int, max_seq: Optional[int] = None) -> KVCache:
         mc = self.model_cfg
         cache = KVCache.create(
@@ -132,7 +158,8 @@ class InferenceEngine:
         cache = self.new_cache(B, _round_up(total, 128))
         kv_start_j = jnp.asarray(kv_start)
 
-        logits, cache = self._prefill(
+        step = self._prefill_ring if self._use_ring(Tp) else self._prefill
+        logits, cache = step(
             self.params, jnp.asarray(tokens), cache, kv_start_j
         )
 
@@ -164,9 +191,13 @@ class InferenceEngine:
 
     def prefill(self, tokens: jax.Array, cache: KVCache,
                 kv_start: Optional[jax.Array] = None):
+        """`cache` must be fresh (length 0) when the ring-prefill path is
+        configured — sequence-parallel attention covers the chunk only."""
         if kv_start is None:
             kv_start = jnp.zeros((tokens.shape[0],), jnp.int32)
-        return self._prefill(self.params, tokens, cache, kv_start)
+        step = (self._prefill_ring if self._use_ring(tokens.shape[1])
+                else self._prefill)
+        return step(self.params, tokens, cache, kv_start)
 
     def decode_step(self, tokens: jax.Array, cache: KVCache,
                     kv_start: Optional[jax.Array] = None):

@@ -248,6 +248,13 @@ def forward(
                                    # positions (continuous batching). T must
                                    # be 1; KV writes scatter per row and
                                    # cache.length is ignored.
+    ring_mesh=None,                # static (close over via partial): Mesh +
+    ring_axis: Optional[str] = None,   # axis name for sequence-parallel
+                                   # ring-attention prefill. Only valid for a
+                                   # FRESH-cache prefill chunk (cache.length
+                                   # == 0 — the engine guarantees this); KV
+                                   # still lands in the cache as usual.
+    ring_head_axis: Optional[str] = None,  # TP axis for heads (TP x SP)
 ):
     """Run the decoder on a token chunk starting at cache.length.
 
@@ -315,7 +322,20 @@ def forward(
 
         use_fused_attn = decode_attention_supported(cache.k[0])
 
-    def attend_over(q, k_c, v_c, ks_c, vs_c):
+    use_ring_prefill = (
+        ring_axis is not None and T_ > 1 and slot_lengths is None
+        and cfg.sliding_window is None and alibi is None
+    )
+
+    def attend_over(q, k_c, v_c, ks_c, vs_c, k_new=None, v_new=None):
+        if use_ring_prefill and k_new is not None:
+            # sequence-parallel prefill: attention over the fresh chunk only
+            # (== attention over the cache when the cache was empty)
+            from mixq_tpu.parallel.ring_attention import ring_attention
+
+            return ring_attention(q, k_new, v_new, ring_mesh, ring_axis,
+                                  head_axis=ring_head_axis,
+                                  kv_start=kv_start)
         if use_fused_attn:
             out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c,
                                    kv_start=kv_start)
@@ -399,7 +419,7 @@ def forward(
                     v_c = put(v_c, v)
                 k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_c, i, 0)
                 v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_c, i, 0)
-                return attend_over(q, k_c, v_c, ks_c, vs_c)
+                return attend_over(q, k_c, v_c, ks_c, vs_c, k, v)
 
             h, stats = block_core(
                 h, bp, kv_apply, cos, sin, specs, cfg, collect_stats)
@@ -430,7 +450,7 @@ def forward(
                 else:
                     cache = cache.update_layer(i, k, v, ring=ring)  # in-place DUS
                 k_c, v_c, ks_c, vs_c = cache.layer_kv(i)
-                return attend_over(q, k_c, v_c, ks_c, vs_c)
+                return attend_over(q, k_c, v_c, ks_c, vs_c, k, v)
 
             x, stats = block_core(
                 x, bp, kv_apply, cos, sin, specs, cfg, collect_stats)
