@@ -30,9 +30,11 @@ class MixQLM(LM):
     def __init__(self, params: DecoderParams, cfg: ModelConfig,
                  specs: DecoderSpecs, tokenizer, batch_size: int = 8,
                  max_length: int = 2048):
-        if not _HAVE_LM_EVAL:
-            raise ImportError(
-                "lm_eval is not installed; pip install lm-eval to use MixQLM")
+        # constructible without lm_eval (LM falls back to `object`): the
+        # scoring machinery below has no harness dependency, so it stays
+        # testable in environments that don't ship lm-eval; running inside
+        # lm_eval.simple_evaluate needs the real base class (examples/
+        # lm_eval_run.py guards that).
         super().__init__()
         self.params = params
         self.cfg = cfg
@@ -55,7 +57,11 @@ class MixQLM(LM):
             ids = (ctx + cont)[-T:]
             toks[i, T - len(ids):] = ids
             start[i] = T - len(ids)
-            spans.append((T - len(cont), T))
+            # first continuation slot; clamped to 1 so the logprob of slot t
+            # always comes from the model's prediction at t-1 (a continuation
+            # that fills the whole window loses its first token — same
+            # truncation the reference harness applies)
+            spans.append((max(T - len(cont), 1), T))
         cache = KVCache.create(
             self.cfg.num_hidden_layers, B, T, self.cfg.num_key_value_heads,
             self.cfg.head_dim_, jnp.bfloat16)
