@@ -86,7 +86,8 @@ def main():
     print(f"init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
 
     cache = KVCache.create(cfg.num_hidden_layers, B, S,
-                           cfg.num_key_value_heads, cfg.head_dim_, kv_dtype)
+                           cfg.num_key_value_heads, cfg.head_dim_, kv_dtype,
+                           head_major=attn_impl == "flash")
 
     import functools
 

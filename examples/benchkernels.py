@@ -1,8 +1,18 @@
 """Per-kernel microbenchmark: XLA (jnp) path vs Pallas kernels on the
 Llama-2-7B GEMM shapes (reference examples/benchbitsand.py measures the same
-kernels on saved activations; here shapes are what matter).
+kernels on saved activations).
 
-  python examples/benchkernels.py [--m 256] [--steps 50]
+  python examples/benchkernels.py [--m 256] [--steps 50]          # shapes
+  python examples/benchkernels.py --activations acts.npz          # real acts
+      [--budgets 0,64,128,256] [--output_json out.json]
+
+The --activations mode (reference benchbitsand.py:33-39 workflow: kernels on
+*saved real activations*, because outlier behavior doesn't show on random
+data) benches the full W8A8O16 mixed-linear — per-token quant + int8 GEMM +
+fp outlier GEMM + epilogue — at a sweep of outlier budgets, with outlier
+channels picked from the dumped activations' channel absmax exactly like
+calibration does. Reports the outlier-GEMM overhead vs outlier count.
+Produce dumps with examples/dump_activations.py.
 
 Timing is relay-safe: chained dependent calls, two chain lengths.
 """
@@ -33,11 +43,84 @@ def time_chained(fn, x0, steps):
     return max((t2 - t1) / steps, 1e-9)
 
 
+def bench_activations(args):
+    """Full mixed-linear on saved real activations, outlier-budget sweep."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mixq_tpu.ops import quant as Q
+    from mixq_tpu.ops.mixed_linear import LinearSpec, from_float, mixed_linear
+
+    data = np.load(args.activations)
+    budgets = [int(b) for b in args.budgets.split(",")]
+    spec = LinearSpec(w_bit=args.w_bit, a_bit=args.w_bit)
+    results = []
+    for key in sorted(data.files):
+        x_full = data[key]                             # [M_all, K]
+        M = min(args.m, x_full.shape[0])
+        x = jnp.asarray(x_full[:M], jnp.bfloat16)
+        K = x.shape[1]
+        N = 4096 if K != 4096 else 11008               # 7b partner dim
+        w = jax.random.normal(jax.random.PRNGKey(0), (K, N)) * 0.02
+        ch_absmax = np.max(np.abs(x_full), axis=0)     # calibration statistic
+        order = np.argsort(ch_absmax)[::-1]
+        sigma = 6.0
+        n_real = int((ch_absmax > sigma).sum())        # reference σ=6 channels
+
+        base_ms = None
+        for budget in budgets:
+            if budget == 0:
+                oset = None
+            else:
+                oset = Q.outlier_set_from_indices(
+                    np.ascontiguousarray(order[:budget]), K, budget)
+            params = from_float(w, spec, outlier_set=oset)
+
+            @jax.jit
+            def fn(t, params=params, x=x):
+                y = mixed_linear(params, x + t.astype(x.dtype), spec)
+                return t + (y.ravel()[0].astype(jnp.float32) > 1e30
+                            ).astype(t.dtype)
+
+            ms = time_chained(fn, jnp.zeros((), jnp.int32), args.steps) * 1e3
+            if base_ms is None:
+                base_ms = ms
+            row = {
+                "tensor": key, "M": M, "K": K, "N": N, "budget": budget,
+                "sigma6_channels": n_real, "ms": round(ms, 4),
+                "overhead_vs_b0": round(ms - base_ms, 4),
+                "overhead_pct": round(100 * (ms - base_ms) / base_ms, 1),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    if args.output_json:
+        os.makedirs(os.path.dirname(args.output_json) or ".", exist_ok=True)
+        with open(args.output_json, "w") as f:
+            json.dump(results, f, indent=1)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=256)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--activations", default=None,
+                    help=".npz from examples/dump_activations.py")
+    ap.add_argument("--budgets", default="0,64,128,256")
+    ap.add_argument("--w_bit", type=int, default=8)
+    ap.add_argument("--output_json", default=None)
+    ap.add_argument("--platform", default=None)
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.activations:
+        bench_activations(args)
+        return
 
     import jax
     import jax.numpy as jnp

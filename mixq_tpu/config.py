@@ -146,6 +146,10 @@ class EngineConfig:
     # batch during decode) while heads stay TP-sharded over 'model'
     ring_prefill_axis: Optional[str] = None
     ring_prefill_min_t: int = 1024
+    # multi-token decode as ONE lax.while_loop program: sampling + EOS check
+    # on device, early exit when every row hit EOS — no host round-trip per
+    # token (the stepwise path fetches sampled tokens every step)
+    device_decode_loop: bool = True
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

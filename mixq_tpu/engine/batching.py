@@ -72,10 +72,12 @@ class ContinuousBatchingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _insert(big: KVCache, small: KVCache, slot) -> KVCache:
-            # copy [L, 1, Tp, ...] prefill KV into the slot row
+            # copy the [L, 1, Tp, ...] prefill KV into the slot row (row
+            # axis is 1, or 2 for head-major flash caches)
             def put(dst, src):
+                lead = (0, 0, slot) if big.head_major else (0, slot, 0)
                 return jax.lax.dynamic_update_slice(
-                    dst, src.astype(dst.dtype), (0, slot, 0) + (0,) * (dst.ndim - 3))
+                    dst, src.astype(dst.dtype), lead + (0,) * (dst.ndim - 3))
             big = big._replace(k=put(big.k, small.k), v=put(big.v, small.v))
             if big.quantized:
                 big = big._replace(
@@ -90,7 +92,8 @@ class ContinuousBatchingEngine:
         self.cache = KVCache.create(
             mc.num_hidden_layers, self.n_slots, self.max_seq,
             mc.num_key_value_heads, mc.head_dim_,
-            jnp.dtype(self.ecfg.kv_dtype))
+            jnp.dtype(self.ecfg.kv_dtype),
+            head_major=specs_.attn_impl == "flash")
         if mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
 
@@ -206,7 +209,8 @@ class ContinuousBatchingEngine:
             small = KVCache.create(
                 self.cfg.num_hidden_layers, 1, Tp,
                 self.cfg.num_key_value_heads, self.cfg.head_dim_,
-                jnp.dtype(self.ecfg.kv_dtype))
+                jnp.dtype(self.ecfg.kv_dtype),
+                head_major=self.cache.head_major)
             _, small = self._prefill(self.params, jnp.asarray(toks), small)
             self.cache = self._insert(self.cache, small,
                                       jnp.asarray(slot, jnp.int32))

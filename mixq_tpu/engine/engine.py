@@ -70,6 +70,8 @@ class InferenceEngine:
         self._decode = _step
         self._sample = _sample
 
+        self._decode_loops = {}
+
         # sequence-parallel (ring-attention) prefill step: context
         # parallelism over ring_prefill_axis for long fresh-cache prompts
         self._prefill_ring = None
@@ -96,12 +98,54 @@ class InferenceEngine:
         # shard_map needs the sequence to divide evenly over the ring axis
         return T % self.mesh.shape[self.engine_cfg.ring_prefill_axis] == 0
 
+    def _get_decode_loop(self, max_steps: int, sp: SamplingParams):
+        """One-program multi-token decode: lax.while_loop over decode steps
+        with on-device sampling and all-rows-EOS early exit — the TPU-native
+        decode shape (the stepwise path syncs the host every token for the
+        EOS check; through the relay that's a round-trip per token). Cached
+        per (max_steps, sampling)."""
+        key_ = (max_steps, sp)
+        fn = self._decode_loops.get(key_)
+        if fn is not None:
+            return fn
+        specs, mc = self.specs, self.model_cfg
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def loop(params, first_tok, cache, kv_start, key, eos_id):
+            B = first_tok.shape[0]
+            buf = jnp.zeros((B, max_steps), jnp.int32)
+            done = first_tok == eos_id
+
+            def cond(c):
+                step, _, _, _, _, done = c
+                return (step < max_steps) & ~jnp.all(done)
+
+            def body(c):
+                step, buf, nxt, cache, key, done = c
+                key, sub = jax.random.split(key)
+                logits, cache = forward(params, nxt[:, None], cache, specs,
+                                        mc, kv_start)
+                tok = sample(logits[:, -1, :], sub, sp)
+                tok = jnp.where(done, eos_id, tok)
+                done = done | (tok == eos_id)
+                buf = buf.at[:, step].set(tok)
+                return (step + 1, buf, tok, cache, key, done)
+
+            step, buf, _, cache, _, done = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), buf, first_tok,
+                             cache, key, done))
+            return buf, step, cache
+
+        self._decode_loops[key_] = loop
+        return loop
+
     def new_cache(self, batch: int, max_seq: Optional[int] = None) -> KVCache:
         mc = self.model_cfg
         cache = KVCache.create(
             mc.num_hidden_layers, batch, max_seq or self.engine_cfg.max_seq_len,
             mc.num_key_value_heads, mc.head_dim_,
             dtype=jnp.dtype(self.engine_cfg.kv_dtype),
+            head_major=self.specs.attn_impl == "flash",
         )
         if self.mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
@@ -164,21 +208,30 @@ class InferenceEngine:
         )
 
         key = jax.random.PRNGKey(seed)
-        out_tokens = []
         next_tok = self._sample(logits, key, sampling)
-        out_tokens.append(np.asarray(next_tok))
-        for step in range(1, max_new_tokens):
-            key, sub = jax.random.split(key)
-            logits, cache = self._decode(
-                self.params, next_tok[:, None], cache, kv_start_j
-            )
-            next_tok = self._sample(logits, sub, sampling)
-            host_tok = np.asarray(next_tok)
-            out_tokens.append(host_tok)
-            if eos_token_id is not None and bool(np.all(host_tok == eos_token_id)):
-                break
 
-        gen = np.stack(out_tokens, axis=1)  # [B, steps]
+        if self.engine_cfg.device_decode_loop and max_new_tokens > 1:
+            # one while_loop program: no host sync per token
+            loop = self._get_decode_loop(max_new_tokens - 1, sampling)
+            eos = -1 if eos_token_id is None else eos_token_id
+            buf, _, cache = loop(self.params, next_tok, cache, kv_start_j,
+                                 key, jnp.asarray(eos, jnp.int32))
+            gen = np.concatenate(
+                [np.asarray(next_tok)[:, None], np.asarray(buf)], axis=1)
+        else:
+            out_tokens = [np.asarray(next_tok)]
+            for step in range(1, max_new_tokens):
+                key, sub = jax.random.split(key)
+                logits, cache = self._decode(
+                    self.params, next_tok[:, None], cache, kv_start_j
+                )
+                next_tok = self._sample(logits, sub, sampling)
+                host_tok = np.asarray(next_tok)
+                out_tokens.append(host_tok)
+                if eos_token_id is not None and bool(
+                        np.all(host_tok == eos_token_id)):
+                    break
+            gen = np.stack(out_tokens, axis=1)  # [B, steps]
         results = []
         for i in range(B):
             row = gen[i].tolist()

@@ -114,9 +114,14 @@ class DecoderSpecs:
     down: LinearSpec = LinearSpec(version="FP16", w_bit=16)
     # decode attention implementation:
     #   "xla"      einsum with bf16 operands (default)
+    #   "flash"    MXU flash-decode Pallas kernel over a HEAD-MAJOR cache
+    #              (ops/pallas/flash_decode.py) — callers must create the
+    #              KVCache with head_major=True; int8 cache consumed
+    #              natively by the MXU (no per-element widening)
     #   "xla_int8" both attention contractions int8 x int8 (q and probs
     #              absmax-quantized; requires int8 KV) — no K/V widening
-    #   "pallas"   fused VPU kernel (T=1 steps; falls back otherwise)
+    #   "pallas"   fused VPU kernel (T=1 steps; falls back otherwise —
+    #              measured VPU-bound, superseded by "flash")
     attn_impl: str = "xla"
 
     @classmethod
@@ -224,7 +229,12 @@ def block_core(
         out = x + mlp_out.astype(x.dtype)
 
     stats = {}
-    if collect_stats:
+    if collect_stats == "full":
+        # raw per-linear input activations (the reference's benchbitsand
+        # workflow benches kernels on saved real activations because outlier
+        # behavior doesn't show on random data — SURVEY.md §4.3)
+        stats = {"wqkv": h_ln, "wo": attn_raw, "up": mlp_in, "down": inner}
+    elif collect_stats:
         stats = {
             "wqkv": _absmax_channels(h_ln),
             "wo": _absmax_channels(attn_raw),
@@ -242,8 +252,10 @@ def forward(
     cfg: ModelConfig,
     kv_start: Optional[jax.Array] = None,  # [B] — first real slot per row,
                                    # for left-padded batched prompts
-    collect_stats: bool = False,   # also return per-linear-group input
-                                   # channel absmax (calibration pipeline)
+    collect_stats: bool = False,   # True: also return per-linear-group input
+                                   # channel absmax (calibration pipeline);
+                                   # "full": return the raw input activations
+                                   # (real-activation kernel benching)
     slot_lengths: Optional[jax.Array] = None,  # [B] — per-slot sequence
                                    # positions (continuous batching). T must
                                    # be 1; KV writes scatter per row and
@@ -311,8 +323,14 @@ def forward(
         # scaling. attend() uses the baichuan convention, so pre-scale here.
         alibi = alibi / jnp.sqrt(jnp.float32(cfg.head_dim_))
 
+    head_major = cache.head_major
+    if head_major and (cfg.sliding_window is not None or alibi is not None):
+        raise NotImplementedError(
+            "head-major (flash) KV cache does not support sliding-window or "
+            "ALiBi models yet — create the cache with head_major=False")
+
     use_fused_attn = (
-        specs.attn_impl == "pallas" and T == 1
+        specs.attn_impl == "pallas" and T == 1 and not head_major
         and cfg.sliding_window is None and alibi is None
         and jax.default_backend() == "tpu"
     )
@@ -336,6 +354,28 @@ def forward(
             return ring_attention(q, k_new, v_new, ring_mesh, ring_axis,
                                   head_axis=ring_head_axis,
                                   kv_start=kv_start)
+        if head_major:
+            if T_ == 1:
+                # the hot path: MXU flash-decode kernel streaming the
+                # head-major cache (only HBM traffic is the cache bits)
+                from mixq_tpu.ops.pallas.flash_decode import (
+                    flash_decode_attention)
+
+                out = flash_decode_attention(
+                    q[:, 0], k_c, v_c, kv_len, ks_c, vs_c,
+                    kv_start=kv_start,
+                    interpret=jax.default_backend() != "tpu")
+                return out[:, None]
+            # prefill chunk on a FRESH cache (the engine guarantees
+            # length==0 at entry): attention over the chunk's own fp k/v ==
+            # attention over the cache — no transposed cache read needed
+            if T_ > 512:
+                from mixq_tpu.models.layers import attend_chunked
+
+                return attend_chunked(q, k_new, v_new, q_slot, kv_len,
+                                      kv_start=kv_start)
+            return attend(q, k_new, v_new, q_slot, kv_len,
+                          kv_start=kv_start)
         if use_fused_attn:
             out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c,
                                    kv_start=kv_start)
@@ -371,8 +411,12 @@ def forward(
                 k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
                 v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
                 write_pos = cache.length % cache.max_seq if ring else cache.length
-                at4 = (0, write_pos, 0, 0)
-                at3 = (0, write_pos, 0)
+                if head_major:           # layer slices [h, B, S(, d)]
+                    at4 = (0, 0, write_pos, 0)
+                    at3 = (0, 0, write_pos)
+                else:
+                    at4 = (0, write_pos, 0, 0)
+                    at3 = (0, write_pos, 0)
                 if slot_lengths is not None:
                     # continuous batching: T==1 decode writes scatter at
                     # per-row positions (update_layer_slots semantics inside
@@ -382,9 +426,15 @@ def forward(
                     row_pos = (slot_lengths % cache.max_seq if ring
                                else slot_lengths)
 
-                    def put(buf, val):   # buf [B,S,...], val [B,1,...]
-                        return buf.at[rows, row_pos].set(
-                            val[:, 0].astype(buf.dtype))
+                    if head_major:
+                        def put(buf, val):  # buf [h,B,S,...], val [B,1,...]
+                            return buf.at[:, rows, row_pos].set(
+                                jnp.moveaxis(val[:, 0], 0, 1).astype(
+                                    buf.dtype))
+                    else:
+                        def put(buf, val):   # buf [B,S,...], val [B,1,...]
+                            return buf.at[rows, row_pos].set(
+                                val[:, 0].astype(buf.dtype))
                 elif ring and T_ > 1:
                     # a prefill chunk may straddle the wrap point: scatter at
                     # per-token ring slots (DUS would clamp at the edge)
@@ -393,6 +443,17 @@ def forward(
 
                     def put(buf, val):    # buf [B,S,...], val [B,T,...]
                         return buf.at[:, slots].set(val.astype(buf.dtype))
+                elif head_major:
+                    slots = None
+
+                    def put(buf, val):   # val [B,T,h(,d)] -> head-major
+                        if buf.ndim == 4:
+                            val = jnp.moveaxis(val, 2, 0)        # [h,B,T,d]
+                            return jax.lax.dynamic_update_slice(
+                                buf, val.astype(buf.dtype), at4)
+                        val = jnp.transpose(val, (2, 0, 1))      # [h,B,T]
+                        return jax.lax.dynamic_update_slice(
+                            buf, val.astype(buf.dtype), at3)
                 else:
                     slots = None
 

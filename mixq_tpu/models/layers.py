@@ -12,6 +12,7 @@ TPU-native replacements for the reference's fused modules:
 """
 from __future__ import annotations
 
+import dataclasses as _dc
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -146,7 +147,9 @@ def alibi_slopes(n_heads: int) -> jax.Array:
 # KV cache
 # ---------------------------------------------------------------------------
 
-class KVCache(NamedTuple):
+@jax.tree_util.register_dataclass
+@_dc.dataclass(frozen=True)
+class KVCache:
     """Static-shape per-model KV cache — the reference's dead `WindowedCache`
     design (fused/cache.py:3-38) done properly: preallocated
     [L, B, S_max, n_kv, hd], updated in place via dynamic_update_slice and
@@ -157,18 +160,33 @@ class KVCache(NamedTuple):
     int8 KV halves that traffic (and doubles the batch that fits). The
     reference keeps KV fp16 (attn.py:242-244); int8-KV is a TPU-side win the
     A100 baseline doesn't have.
+
+    `head_major=True` switches the layout to [L, n_kv, B, S, hd] (scales
+    [L, n_kv, B, S]) — each (head, row) owns a contiguous [S, hd] stripe, the
+    layout the flash-decode Pallas kernel streams with one linear DMA per
+    block (ops/pallas/flash_decode.py). It is a STATIC pytree meta field:
+    jit specializes on it and tree_maps require both sides to agree.
     """
 
-    k: jax.Array               # [L, B, S, n_kv, hd] bf16 | int8
-    v: jax.Array               # [L, B, S, n_kv, hd]
-    k_scale: Optional[jax.Array]   # [L, B, S, n_kv] f32 (int8 only)
+    k: jax.Array               # [L, B, S, n_kv, hd] | [L, n_kv, B, S, hd]
+    v: jax.Array
+    k_scale: Optional[jax.Array]   # [L, B, S, n_kv] | [L, n_kv, B, S] (int8)
     v_scale: Optional[jax.Array]
     length: jax.Array          # [] int32 — valid prefix length
+    head_major: bool = _dc.field(default=False,
+                                 metadata=dict(static=True))
+
+    def _replace(self, **kw) -> "KVCache":
+        return _dc.replace(self, **kw)
 
     @classmethod
-    def create(cls, n_layers, batch, max_seq, n_kv, head_dim, dtype=jnp.bfloat16):
+    def create(cls, n_layers, batch, max_seq, n_kv, head_dim,
+               dtype=jnp.bfloat16, head_major: bool = False):
         dtype = jnp.dtype(dtype)
-        shape = (n_layers, batch, max_seq, n_kv, head_dim)
+        if head_major:
+            shape = (n_layers, n_kv, batch, max_seq, head_dim)
+        else:
+            shape = (n_layers, batch, max_seq, n_kv, head_dim)
         quantized = dtype == jnp.int8
         return cls(
             k=jnp.zeros(shape, dtype),
@@ -176,11 +194,16 @@ class KVCache(NamedTuple):
             k_scale=jnp.ones(shape[:-1], jnp.float32) if quantized else None,
             v_scale=jnp.ones(shape[:-1], jnp.float32) if quantized else None,
             length=jnp.zeros((), jnp.int32),
+            head_major=head_major,
         )
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3] if self.head_major else self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[2] if self.head_major else self.k.shape[1]
 
     @property
     def quantized(self) -> bool:
@@ -200,47 +223,60 @@ class KVCache(NamedTuple):
         length, so masks stay correct across wraps."""
         T = k_new.shape[1]
         S = self.max_seq
-        if ring and T > 1:
-            # chunk may straddle the wrap point: scatter at per-token slots
-            slots = (self.length + jnp.arange(T, dtype=jnp.int32)) % S
-            if self.quantized:
-                qk, sk = Q.quantize_kv(k_new)
-                qv, sv = Q.quantize_kv(v_new)
-                return self._replace(
-                    k=self.k.at[layer, :, slots].set(
-                        jnp.moveaxis(qk, 0, 1)),
-                    v=self.v.at[layer, :, slots].set(
-                        jnp.moveaxis(qv, 0, 1)),
-                    k_scale=self.k_scale.at[layer, :, slots].set(
-                        jnp.moveaxis(sk, 0, 1)),
-                    v_scale=self.v_scale.at[layer, :, slots].set(
-                        jnp.moveaxis(sv, 0, 1)),
-                )
-            return self._replace(
-                k=self.k.at[layer, :, slots].set(
-                    jnp.moveaxis(k_new.astype(self.k.dtype), 0, 1)),
-                v=self.v.at[layer, :, slots].set(
-                    jnp.moveaxis(v_new.astype(self.v.dtype), 0, 1)),
-            )
-        pos = self.length % S if ring else self.length
+        hm = self.head_major
+
+        def kv_form(x):      # [B,T,n_kv,hd] -> storage layout
+            return jnp.moveaxis(x, 2, 0) if hm else x
+
+        def sc_form(s):      # [B,T,n_kv] -> storage layout
+            return jnp.transpose(s, (2, 0, 1)) if hm else s
+
         if self.quantized:
             qk, sk = Q.quantize_kv(k_new)
             qv, sv = Q.quantize_kv(v_new)
-            at5 = (layer, 0, pos, 0, 0)
-            at4 = (layer, 0, pos, 0)
-            return self._replace(
-                k=jax.lax.dynamic_update_slice(self.k, qk[None], at5),
-                v=jax.lax.dynamic_update_slice(self.v, qv[None], at5),
-                k_scale=jax.lax.dynamic_update_slice(self.k_scale, sk[None], at4),
-                v_scale=jax.lax.dynamic_update_slice(self.v_scale, sv[None], at4),
+        else:
+            qk, qv = k_new.astype(self.k.dtype), v_new.astype(self.v.dtype)
+            sk = sv = None
+
+        if ring and T > 1:
+            # chunk may straddle the wrap point: scatter at per-token slots.
+            # NB: an advanced index separated from the int layer index by
+            # slices puts the broadcast (T) dim FIRST in the result, so the
+            # head-major scatter value is [T, n_kv, B, hd].
+            slots = (self.length + jnp.arange(T, dtype=jnp.int32)) % S
+            if hm:
+                kv_at = lambda buf, val: buf.at[layer, :, :, slots].set(
+                    jnp.transpose(val, (1, 2, 0, 3)).astype(buf.dtype))
+                sc_at = lambda buf, val: buf.at[layer, :, :, slots].set(
+                    jnp.transpose(val, (1, 2, 0)))
+            else:
+                kv_at = lambda buf, val: buf.at[layer, :, slots].set(
+                    jnp.moveaxis(val, 0, 1).astype(buf.dtype))
+                sc_at = lambda buf, val: buf.at[layer, :, slots].set(
+                    jnp.moveaxis(val, 0, 1))
+            out = self._replace(k=kv_at(self.k, qk), v=kv_at(self.v, qv))
+            if self.quantized:
+                out = out._replace(k_scale=sc_at(self.k_scale, sk),
+                                   v_scale=sc_at(self.v_scale, sv))
+            return out
+
+        pos = self.length % S if ring else self.length
+        at5 = (layer, 0, 0, pos, 0) if hm else (layer, 0, pos, 0, 0)
+        at4 = (layer, 0, 0, pos) if hm else (layer, 0, pos, 0)
+        out = self._replace(
+            k=jax.lax.dynamic_update_slice(
+                self.k, kv_form(qk)[None].astype(self.k.dtype), at5),
+            v=jax.lax.dynamic_update_slice(
+                self.v, kv_form(qv)[None].astype(self.v.dtype), at5),
+        )
+        if self.quantized:
+            out = out._replace(
+                k_scale=jax.lax.dynamic_update_slice(
+                    self.k_scale, sc_form(sk)[None], at4),
+                v_scale=jax.lax.dynamic_update_slice(
+                    self.v_scale, sc_form(sv)[None], at4),
             )
-        k = jax.lax.dynamic_update_slice(
-            self.k, k_new[None].astype(self.k.dtype), (layer, 0, pos, 0, 0)
-        )
-        v = jax.lax.dynamic_update_slice(
-            self.v, v_new[None].astype(self.v.dtype), (layer, 0, pos, 0, 0)
-        )
-        return self._replace(k=k, v=v)
+        return out
 
     def update_layer_slots(
         self, layer: int, k_new: jax.Array, v_new: jax.Array,
@@ -252,21 +288,28 @@ class KVCache(NamedTuple):
         rows = jnp.arange(B)
         if ring:
             slot_lengths = slot_lengths % self.max_seq
+        hm = self.head_major
+        if hm:
+            # broadcast (B) dim of the separated advanced indices lands
+            # first: the scatter value keeps its natural [B, n_kv, hd] shape
+            kv_at = lambda buf, val: buf.at[layer, :, rows, slot_lengths].set(
+                val.astype(buf.dtype))
+            sc_at = lambda buf, val: buf.at[layer, :, rows, slot_lengths].set(
+                val)
+        else:
+            kv_at = lambda buf, val: buf.at[layer, rows, slot_lengths].set(
+                val.astype(buf.dtype))
+            sc_at = lambda buf, val: buf.at[layer, rows, slot_lengths].set(val)
         if self.quantized:
             qk, sk = Q.quantize_kv(k_new[:, 0])
             qv, sv = Q.quantize_kv(v_new[:, 0])
             return self._replace(
-                k=self.k.at[layer, rows, slot_lengths].set(qk),
-                v=self.v.at[layer, rows, slot_lengths].set(qv),
-                k_scale=self.k_scale.at[layer, rows, slot_lengths].set(sk),
-                v_scale=self.v_scale.at[layer, rows, slot_lengths].set(sv),
+                k=kv_at(self.k, qk), v=kv_at(self.v, qv),
+                k_scale=sc_at(self.k_scale, sk),
+                v_scale=sc_at(self.v_scale, sv),
             )
         return self._replace(
-            k=self.k.at[layer, rows, slot_lengths].set(
-                k_new[:, 0].astype(self.k.dtype)),
-            v=self.v.at[layer, rows, slot_lengths].set(
-                v_new[:, 0].astype(self.v.dtype)),
-        )
+            k=kv_at(self.k, k_new[:, 0]), v=kv_at(self.v, v_new[:, 0]))
 
     def layer_kv(self, layer: int):
         """(k, v, k_scale, v_scale) views for one layer."""

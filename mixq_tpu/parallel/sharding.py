@@ -117,15 +117,22 @@ def decoder_pspecs(params: DecoderParams) -> DecoderParams:
     )
 
 
-def kv_cache_pspecs(shard_heads: bool = True, quantized: bool = False) -> KVCache:
+def kv_cache_pspecs(shard_heads: bool = True, quantized: bool = False,
+                    head_major: bool = False) -> KVCache:
     """KV cache [L, B, S, n_kv, hd]: batch on 'data', kv heads on 'model'.
     For MQA (n_kv=1) set shard_heads=False (heads can't split; KV replicates
     on the model axis). int8-KV scale arrays [L, B, S, n_kv] follow the same
-    batch/head split."""
+    batch/head split. head_major caches ([L, n_kv, B, S, hd], the
+    flash-decode layout) shard the same logical axes."""
     head_axis = MODEL_AXIS if shard_heads else None
-    kv = P(None, DATA_AXIS, None, head_axis, None)
-    sc = P(None, DATA_AXIS, None, head_axis) if quantized else None
-    return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc, length=P())
+    if head_major:
+        kv = P(None, head_axis, DATA_AXIS, None, None)
+        sc = P(None, head_axis, DATA_AXIS, None) if quantized else None
+    else:
+        kv = P(None, DATA_AXIS, None, head_axis, None)
+        sc = P(None, DATA_AXIS, None, head_axis) if quantized else None
+    return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc, length=P(),
+                   head_major=head_major)
 
 
 def shard_decoder_params(
@@ -143,10 +150,11 @@ def shard_kv_cache(
     cache: KVCache, mesh: Mesh, shard_heads: Optional[bool] = None
 ) -> KVCache:
     if shard_heads is None:  # auto: only if kv heads divide the model axis
-        n_kv = cache.k.shape[3]
+        n_kv = cache.k.shape[1 if cache.head_major else 3]
         tp = mesh.shape.get(MODEL_AXIS, 1)
         shard_heads = n_kv % tp == 0
-    pspecs = kv_cache_pspecs(shard_heads, quantized=cache.quantized)
+    pspecs = kv_cache_pspecs(shard_heads, quantized=cache.quantized,
+                             head_major=cache.head_major)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         cache, pspecs,

@@ -1,0 +1,189 @@
+"""Flash-decode kernel (ops/pallas/flash_decode.py) + head-major KV cache:
+kernel vs attend() reference (interpret mode on CPU), forward() and engine
+equality between attn_impl='flash' (head-major cache) and the default XLA
+path. Covers bf16 + int8 caches, GQA, per-row lengths, kv_start."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixq_tpu.config import ModelConfig
+from mixq_tpu.models import DecoderSpecs, KVCache
+from mixq_tpu.models.decoder import forward, init_decoder_params, \
+    stack_decoder_params
+from mixq_tpu.models.layers import attend
+from mixq_tpu.ops import quant as Q
+from mixq_tpu.ops.mixed_linear import LinearSpec
+from mixq_tpu.ops.pallas.flash_decode import flash_decode_attention
+
+INTERP = dict(interpret=True)
+
+
+def hm(x):
+    """[B, S, h, d] -> [h, B, S, d] (and [B,S,h] -> [h,B,S])."""
+    return jnp.moveaxis(x, 2, 0)
+
+
+class TestKernelVsAttend:
+    @pytest.mark.parametrize("nq,nkv", [(4, 4), (8, 2)])
+    def test_bf16(self, nq, nkv):
+        B, S, D = 4, 256, 64
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, nq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, nkv, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, nkv, D), jnp.float32)
+        lengths = jnp.asarray([256, 130, 1, 77], jnp.int32)
+        ref = attend(q[:, None].astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16), (lengths - 1)[:, None],
+                     lengths)[:, 0]
+        got = flash_decode_attention(
+            q.astype(jnp.bfloat16), hm(k.astype(jnp.bfloat16)),
+            hm(v.astype(jnp.bfloat16)), lengths, block_s=128, **INTERP)
+        np.testing.assert_allclose(np.float32(got), np.float32(ref),
+                                   rtol=3e-2, atol=3e-2)
+
+    def test_int8_native(self):
+        """int8 cache consumed natively: matches the xla_int8 math within
+        block-quantization tolerance."""
+        B, S, nq, nkv, D = 4, 256, 8, 4, 128
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q = jax.random.normal(ks[0], (B, nq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, nkv, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, nkv, D), jnp.float32)
+        lengths = jnp.asarray([200, 64, 3, 256], jnp.int32)
+        qk8, sk = Q.quantize_kv(k)
+        qv8, sv = Q.quantize_kv(v)
+        ref = attend(q[:, None], qk8, qv8, (lengths - 1)[:, None], lengths,
+                     k_scale=sk, v_scale=sv)[:, 0]
+        got = flash_decode_attention(
+            q, hm(qk8), hm(qv8), lengths, k_scale=hm(sk), v_scale=hm(sv),
+            block_s=128, **INTERP)
+        np.testing.assert_allclose(np.float32(got), np.float32(ref),
+                                   rtol=3e-2, atol=3e-2)
+
+    def test_kv_start(self):
+        B, S, H, D = 2, 128, 2, 64
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(ks[0], (B, H, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.float32)
+        lengths = jnp.asarray([100, 128], jnp.int32)
+        start = jnp.asarray([7, 0], jnp.int32)
+        ref = attend(q[:, None].astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16), (lengths - 1)[:, None], lengths,
+                     kv_start=start)[:, 0]
+        got = flash_decode_attention(
+            q.astype(jnp.bfloat16), hm(k.astype(jnp.bfloat16)),
+            hm(v.astype(jnp.bfloat16)), lengths, kv_start=start,
+            block_s=64, **INTERP)
+        np.testing.assert_allclose(np.float32(got), np.float32(ref),
+                                   rtol=3e-2, atol=3e-2)
+
+    def test_zero_length_rows_are_zero(self):
+        B, S, H, D = 3, 128, 2, 64
+        q = jnp.ones((B, H, D), jnp.bfloat16)
+        k = jnp.ones((B, S, H, D), jnp.bfloat16)
+        lengths = jnp.asarray([64, 0, 32], jnp.int32)
+        got = flash_decode_attention(q, hm(k), hm(k), lengths,
+                                     block_s=64, **INTERP)
+        assert np.all(np.float32(got[1]) == 0.0)
+        assert np.all(np.isfinite(np.float32(got)))
+
+
+def tiny():
+    cfg = ModelConfig.tiny(num_key_value_heads=4, intermediate_size=128)
+    specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
+    return cfg, specs, params
+
+
+def run_steps(params, cfg, specs, cache, tokens, n_steps, slot_mode=False):
+    """Prefill + n decode steps with FIXED decode tokens (no argmax
+    feedback — a near-tie flip would amplify benign numeric differences
+    into full trajectory divergence); returns stacked last-token logits."""
+    jfwd = jax.jit(forward, static_argnames=("specs", "cfg"))
+    logits, cache = jfwd(params, tokens, cache, specs=specs, cfg=cfg)
+    outs = [logits[:, -1]]
+    B, T = tokens.shape
+    for i in range(n_steps):
+        nxt = jnp.full((B,), 7 + 3 * i, jnp.int32)
+        if slot_mode:
+            sl = jnp.full((B,), T + i, jnp.int32)
+            logits, cache = jfwd(params, nxt[:, None], cache, specs=specs,
+                                 cfg=cfg, slot_lengths=sl)
+            cache = cache.advance(1)
+        else:
+            logits, cache = jfwd(params, nxt[:, None], cache, specs=specs,
+                                 cfg=cfg)
+        outs.append(logits[:, -1])
+    return np.asarray(jnp.stack(outs), np.float32)
+
+
+class TestForwardFlash:
+    @pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8"])
+    def test_flash_matches_xla(self, kv_dtype):
+        import dataclasses
+
+        cfg, specs, params = tiny()
+        fspecs = dataclasses.replace(specs, attn_impl="flash")
+        B, T, S = 2, 8, 32
+        tokens = jax.random.randint(jax.random.PRNGKey(3), (B, T), 0,
+                                    cfg.vocab_size).astype(jnp.int32)
+        mk = lambda hm_: KVCache.create(
+            cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
+            cfg.head_dim_, jnp.dtype(kv_dtype), head_major=hm_)
+        ref = run_steps(params, cfg, specs, mk(False), tokens, 3)
+        got = run_steps(params, cfg, fspecs, mk(True), tokens, 3)
+        np.testing.assert_allclose(got, ref, rtol=6e-2, atol=6e-2)
+
+    def test_flash_scan_slot_mode(self):
+        """Stacked (scan) params + slot-mode decode writes on the
+        head-major cache match the loop path."""
+        import dataclasses
+
+        cfg, specs, params = tiny()
+        fspecs = dataclasses.replace(specs, attn_impl="flash")
+        B, T, S = 2, 4, 16
+        tokens = jnp.ones((B, T), jnp.int32)
+        mk = lambda: KVCache.create(
+            cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
+            cfg.head_dim_, jnp.bfloat16, head_major=True)
+        ref = run_steps(params, cfg, fspecs, mk(), tokens, 2, slot_mode=True)
+        got = run_steps(stack_decoder_params(params), cfg, fspecs, mk(),
+                        tokens, 2, slot_mode=True)
+        np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+
+class TestEngineFlash:
+    def test_generate_matches_xla_engine(self):
+        import dataclasses
+
+        from mixq_tpu.config import EngineConfig
+        from mixq_tpu.engine import InferenceEngine
+
+        cfg, specs, params = tiny()
+        ecfg = EngineConfig(max_seq_len=64, prefill_chunk=8, kv_dtype="int8")
+        eng_x = InferenceEngine(params, cfg, specs, ecfg)
+        eng_f = InferenceEngine(
+            params, cfg, dataclasses.replace(specs, attn_impl="flash"), ecfg)
+        prompts = [[1, 5, 9, 4], [2, 2, 7]]
+        ref = eng_x.generate(prompts, max_new_tokens=6)
+        got = eng_f.generate(prompts, max_new_tokens=6)
+        assert got == ref
+
+
+class TestHeadMajorSharding:
+    def test_shard_head_major_cache(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import PartitionSpec as P
+
+        from mixq_tpu.parallel import make_mesh, shard_kv_cache
+
+        cache = KVCache.create(2, 4, 16, 4, 32, jnp.int8, head_major=True)
+        mesh = make_mesh((2, 4))
+        sc = shard_kv_cache(cache, mesh)
+        assert sc.k.sharding.spec == P(None, "model", "data", None, None)
+        assert sc.k_scale.sharding.spec == P(None, "model", "data", None)
