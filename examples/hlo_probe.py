@@ -1,0 +1,58 @@
+"""Dump optimized HLO + cost analysis of a 1-layer 7B-shaped decode step."""
+import functools
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+import jax.numpy as jnp
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+from bench import llama2_7b_cfg
+from mixq_tpu.models import DecoderSpecs, KVCache
+from mixq_tpu.models.decoder import forward, init_decoder_params
+from mixq_tpu.ops.mixed_linear import LinearSpec
+
+kv_name = sys.argv[1] if len(sys.argv) > 1 else "int8"
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+S = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+attn_impl = sys.argv[4] if len(sys.argv) > 4 else "xla"
+
+cfg = llama2_7b_cfg(1)
+specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+if attn_impl != "xla":
+    import dataclasses
+    specs = dataclasses.replace(specs, attn_impl=attn_impl)
+params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,
+                             dtype=jnp.bfloat16)
+cache = KVCache.create(1, B, S, cfg.num_key_value_heads, cfg.head_dim_,
+                       jnp.dtype(kv_name))
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def decode(params, tokens, cache):
+    logits, cache = forward(params, tokens, cache, specs, cfg)
+    return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+
+tokens = jnp.ones((B, 1), jnp.int32)
+lowered = decode.lower(params, tokens, cache)
+compiled = lowered.compile()
+tag = f"{kv_name}_B{B}_S{S}_{attn_impl}"
+with open(f"/tmp/hlo_{tag}.txt", "w") as f:
+    f.write(compiled.as_text())
+try:
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    with open(f"/tmp/cost_{tag}.txt", "w") as f:
+        for k in sorted(ca):
+            f.write(f"{k}: {ca[k]}\n")
+except Exception as e:
+    print("cost_analysis failed:", e)
+try:
+    ma = compiled.memory_analysis()
+    print("memory:", ma)
+except Exception as e:
+    print("memory_analysis failed:", e)
+print("wrote /tmp/hlo_%s.txt" % tag)
