@@ -166,17 +166,33 @@ def main():
                 jnp.bitwise_xor(qx, t.astype(jnp.int8)), qw, xs, ws, xo, wo)
             return t + (y.ravel()[0].astype(jnp.float32) > 1e30).astype(t.dtype)
 
+        # naive baseline (reference Linear8bit, qlinear.py:214-268):
+        # dequantize the whole weight to bf16 in HBM, then a plain matmul —
+        # what the fused path must beat
+        @jax.jit
+        def naive_fn(t, qx=qx, qw=qw, xs=xs, ws=ws):
+            w_deq = qw.astype(jnp.bfloat16) * ws.astype(jnp.bfloat16)[None, :]
+            x_deq = (jnp.bitwise_xor(qx, t.astype(jnp.int8))
+                     .astype(jnp.bfloat16) * xs.astype(jnp.bfloat16))
+            y = jnp.dot(x_deq, w_deq, preferred_element_type=jnp.float32)
+            return t + (y.ravel()[0] > 1e30).astype(t.dtype)
+
         t0 = jnp.zeros((), jnp.int32)
         t_xla = time_chained(xla_fn, t0, args.steps)
-        t_pal = time_chained(pallas_fn, t0, args.steps)
+        # compiled Pallas needs a TPU; CPU runs report the XLA/naive rows only
+        t_pal = (time_chained(pallas_fn, t0, args.steps)
+                 if jax.default_backend() == "tpu" else float("nan"))
+        t_naive = time_chained(naive_fn, t0, args.steps)
         gb = (M * K + K * N + 2 * M * N + M * Bo * 2 + Bo * N * 2) / 1e9
         row = {
             "kernel": f"w8a8o16_{name}", "M": M, "K": K, "N": N,
             "xla_us": round(t_xla * 1e6, 1),
             "pallas_us": round(t_pal * 1e6, 1),
+            "naive_dequant_us": round(t_naive * 1e6, 1),
             "xla_gbps": round(gb / t_xla, 1),
             "pallas_gbps": round(gb / t_pal, 1),
             "speedup": round(t_xla / t_pal, 2),
+            "speedup_vs_naive": round(t_naive / t_xla, 2),
         }
         results.append(row)
         print(json.dumps(row))
@@ -201,7 +217,8 @@ def main():
 
     t0 = jnp.zeros((), jnp.int32)
     t_xla = time_chained(xla_w8a16, t0, args.steps)
-    t_pal = time_chained(pallas_w8a16, t0, args.steps)
+    t_pal = (time_chained(pallas_w8a16, t0, args.steps)
+             if jax.default_backend() == "tpu" else float("nan"))
     row = {"kernel": "w8a16_up", "M": M, "K": K, "N": N,
            "xla_us": round(t_xla * 1e6, 1), "pallas_us": round(t_pal * 1e6, 1),
            "speedup": round(t_xla / t_pal, 2)}

@@ -93,7 +93,9 @@ class ContinuousBatchingEngine:
             mc.num_hidden_layers, self.n_slots, self.max_seq,
             mc.num_key_value_heads, mc.head_dim_,
             jnp.dtype(self.ecfg.kv_dtype),
-            head_major=specs_.attn_impl == "flash")
+            head_major=(specs_.attn_impl == "flash"
+                        and (jax.default_backend() != "tpu"
+                             or mc.head_dim_ % 128 == 0)))
         if mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
 

@@ -92,6 +92,18 @@ class InferenceEngine:
 
             self._prefill_ring = _step_ring
 
+    def _flash_ok(self) -> bool:
+        """Head-major flash cache only when the kernel can actually run:
+        compiled Mosaic needs a 128-lane-aligned head_dim (interpret mode
+        on CPU has no such limit)."""
+        if self.specs.attn_impl != "flash":
+            return False
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return True
+        return self.model_cfg.head_dim_ % 128 == 0
+
     def _use_ring(self, T: int) -> bool:
         if self._prefill_ring is None or T < self.engine_cfg.ring_prefill_min_t:
             return False
@@ -145,7 +157,7 @@ class InferenceEngine:
             mc.num_hidden_layers, batch, max_seq or self.engine_cfg.max_seq_len,
             mc.num_key_value_heads, mc.head_dim_,
             dtype=jnp.dtype(self.engine_cfg.kv_dtype),
-            head_major=self.specs.attn_impl == "flash",
+            head_major=self._flash_ok(),
         )
         if self.mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache

@@ -326,6 +326,12 @@ def flash_decode_attention(
 
 def flash_decode_supported(n_kv: int, S: int, D: int,
                            dtype_itemsize: int) -> bool:
-    """VMEM gate: double-buffered K+V blocks must fit comfortably."""
+    """Gate for the compiled kernel: the DMA engine requires the (whole)
+    trailing dim of a sliced copy to be 128-lane aligned — head_dim 64
+    models (Mosaic: "Slice shape along dimension 3 must be aligned to
+    tiling (128)") must stay on the XLA path. Plus a VMEM budget check for
+    the double-buffered K+V blocks."""
+    if D % 128 != 0:
+        return False
     block = min(S, 512)
     return 2 * 2 * block * D * dtype_itemsize <= 2 * 1024 * 1024

@@ -50,7 +50,20 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:
+        # surface WHICH host failed to join (SURVEY §5: the reference has no
+        # failure detection at all; a bare timeout here is undebuggable on a
+        # pod — name the process and coordinator in the error)
+        import socket
+
+        raise RuntimeError(
+            f"jax.distributed.initialize failed on host "
+            f"{socket.gethostname()!r} (process_id="
+            f"{kwargs.get('process_id', 'auto')}, coordinator="
+            f"{kwargs.get('coordinator_address', 'auto')}): {e}"
+        ) from e
 
 
 def multihost_mesh(
