@@ -88,7 +88,8 @@ def main():
     cache = KVCache.create(cfg.num_hidden_layers, B, S,
                            cfg.num_key_value_heads, cfg.head_dim_, kv_dtype,
                            head_major=(attn_impl == "flash"
-                                       and cfg.head_dim_ % 128 == 0))
+                                       and cfg.head_dim_ % 128 == 0
+                                       and S % 128 == 0))
 
     import functools
 

@@ -95,7 +95,8 @@ class ContinuousBatchingEngine:
             jnp.dtype(self.ecfg.kv_dtype),
             head_major=(specs_.attn_impl == "flash"
                         and (jax.default_backend() != "tpu"
-                             or mc.head_dim_ % 128 == 0)))
+                             or (mc.head_dim_ % 128 == 0
+                                 and self.max_seq % 128 == 0))))
         if mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
 

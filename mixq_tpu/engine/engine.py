@@ -92,17 +92,18 @@ class InferenceEngine:
 
             self._prefill_ring = _step_ring
 
-    def _flash_ok(self) -> bool:
+    def _flash_ok(self, max_seq: int) -> bool:
         """Head-major flash cache only when the kernel can actually run:
-        compiled Mosaic needs a 128-lane-aligned head_dim (interpret mode
-        on CPU has no such limit)."""
+        compiled Mosaic needs 128-aligned head_dim and cache S (interpret
+        mode on CPU has no such limits)."""
         if self.specs.attn_impl != "flash":
             return False
         import jax as _jax
 
         if _jax.default_backend() != "tpu":
             return True
-        return self.model_cfg.head_dim_ % 128 == 0
+        return (self.model_cfg.head_dim_ % 128 == 0
+                and max_seq % 128 == 0)
 
     def _use_ring(self, T: int) -> bool:
         if self._prefill_ring is None or T < self.engine_cfg.ring_prefill_min_t:
@@ -153,11 +154,12 @@ class InferenceEngine:
 
     def new_cache(self, batch: int, max_seq: Optional[int] = None) -> KVCache:
         mc = self.model_cfg
+        S = max_seq or self.engine_cfg.max_seq_len
         cache = KVCache.create(
-            mc.num_hidden_layers, batch, max_seq or self.engine_cfg.max_seq_len,
+            mc.num_hidden_layers, batch, S,
             mc.num_key_value_heads, mc.head_dim_,
             dtype=jnp.dtype(self.engine_cfg.kv_dtype),
-            head_major=self._flash_ok(),
+            head_major=self._flash_ok(S),
         )
         if self.mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache

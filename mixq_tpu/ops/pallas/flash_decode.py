@@ -252,6 +252,11 @@ def flash_decode_attention(
 
     while S % block_s != 0:
         block_s //= 2
+    if not interpret and (D % 128 != 0 or block_s % 128 != 0):
+        raise ValueError(
+            f"flash_decode_attention needs 128-aligned head_dim and S-block "
+            f"(got D={D}, block_s={block_s}, S={S}) — Mosaic DMA tiling; "
+            f"gate callers with flash_decode_supported()")
 
     lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (B,))
     if kv_start is None:
@@ -326,12 +331,12 @@ def flash_decode_attention(
 
 def flash_decode_supported(n_kv: int, S: int, D: int,
                            dtype_itemsize: int) -> bool:
-    """Gate for the compiled kernel: the DMA engine requires the (whole)
-    trailing dim of a sliced copy to be 128-lane aligned — head_dim 64
-    models (Mosaic: "Slice shape along dimension 3 must be aligned to
-    tiling (128)") must stay on the XLA path. Plus a VMEM budget check for
-    the double-buffered K+V blocks."""
-    if D % 128 != 0:
+    """Gate for the compiled kernel: Mosaic requires BOTH trailing dims of
+    the sliced KV copy 128-aligned — head_dim-64 models ("Slice shape along
+    dimension 3 must be aligned to tiling (128)") and caches with
+    S % 128 != 0 ("... dimension 2 ... but is 32") must stay on the XLA
+    path. Plus a VMEM budget check for the double-buffered K+V blocks."""
+    if D % 128 != 0 or S % 128 != 0:
         return False
     block = min(S, 512)
     return 2 * 2 * block * D * dtype_itemsize <= 2 * 1024 * 1024
