@@ -85,11 +85,14 @@ def main():
     jax.block_until_ready(params)
     print(f"init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
 
+    from mixq_tpu.ops.pallas.flash_decode import flash_decode_supported
+
     cache = KVCache.create(cfg.num_hidden_layers, B, S,
                            cfg.num_key_value_heads, cfg.head_dim_, kv_dtype,
                            head_major=(attn_impl == "flash"
-                                       and cfg.head_dim_ % 128 == 0
-                                       and S % 128 == 0))
+                                       and flash_decode_supported(
+                                           cfg.num_key_value_heads, S,
+                                           cfg.head_dim_, kv_dtype.itemsize)))
 
     import functools
 

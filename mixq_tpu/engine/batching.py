@@ -24,6 +24,7 @@ from mixq_tpu.engine.sampling import SamplingParams, sample
 from mixq_tpu.engine.scheduler import make_scheduler
 from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs, forward
 from mixq_tpu.models.layers import KVCache
+from mixq_tpu.ops.pallas.flash_decode import flash_decode_supported
 
 
 from mixq_tpu.utils.shapes import round_up as _round_up
@@ -95,8 +96,10 @@ class ContinuousBatchingEngine:
             jnp.dtype(self.ecfg.kv_dtype),
             head_major=(specs_.attn_impl == "flash"
                         and (jax.default_backend() != "tpu"
-                             or (mc.head_dim_ % 128 == 0
-                                 and self.max_seq % 128 == 0))))
+                             or flash_decode_supported(
+                                 mc.num_key_value_heads, self.max_seq,
+                                 mc.head_dim_,
+                                 jnp.dtype(self.ecfg.kv_dtype).itemsize))))
         if mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
 

@@ -93,17 +93,20 @@ class InferenceEngine:
             self._prefill_ring = _step_ring
 
     def _flash_ok(self, max_seq: int) -> bool:
-        """Head-major flash cache only when the kernel can actually run:
-        compiled Mosaic needs 128-aligned head_dim and cache S (interpret
-        mode on CPU has no such limits)."""
+        """Head-major flash cache only when the compiled kernel can run
+        (interpret mode on CPU has no tiling limits)."""
         if self.specs.attn_impl != "flash":
             return False
         import jax as _jax
 
         if _jax.default_backend() != "tpu":
             return True
-        return (self.model_cfg.head_dim_ % 128 == 0
-                and max_seq % 128 == 0)
+        from mixq_tpu.ops.pallas.flash_decode import flash_decode_supported
+
+        mc = self.model_cfg
+        return flash_decode_supported(
+            mc.num_key_value_heads, max_seq, mc.head_dim_,
+            jnp.dtype(self.engine_cfg.kv_dtype).itemsize)
 
     def _use_ring(self, T: int) -> bool:
         if self._prefill_ring is None or T < self.engine_cfg.ring_prefill_min_t:

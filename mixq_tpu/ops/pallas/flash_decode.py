@@ -113,22 +113,32 @@ def _kernel(
 
         return lax.cond(i < row_blocks(b), lambda: (b, h, i), advance_h)
 
+    single_block = block_s == k_hbm_ref.shape[2]
+
     def make_copies(b, h, i, slot):
-        s0 = i * block_s
-        ck = pltpu.make_async_copy(
-            k_hbm_ref.at[h, b, pl.ds(s0, block_s)], k_buf.at[slot],
-            k_sems.at[slot])
-        cv = pltpu.make_async_copy(
-            v_hbm_ref.at[h, b, pl.ds(s0, block_s)], v_buf.at[slot],
-            v_sems.at[slot])
-        copies = [ck, cv]
+        # Mosaic DMA tiling requires SLICED dims 128-aligned; a whole-dim
+        # copy is exempt — so when one block covers the row, index (h, b)
+        # only and any S works (S=32/48/64 caches, the B=512 point).
+        if single_block:
+            def src(ref):
+                return ref.at[h, b]
+        else:
+            s0 = i * block_s
+
+            def src(ref):
+                return ref.at[h, b, pl.ds(s0, block_s)]
+
+        copies = [
+            pltpu.make_async_copy(src(k_hbm_ref), k_buf.at[slot],
+                                  k_sems.at[slot]),
+            pltpu.make_async_copy(src(v_hbm_ref), v_buf.at[slot],
+                                  v_sems.at[slot]),
+        ]
         if quantized:
             copies.append(pltpu.make_async_copy(
-                ks_hbm_ref.at[h, b, pl.ds(s0, block_s)],
-                ks_buf.at[slot, 0], k_sems.at[slot]))
+                src(ks_hbm_ref), ks_buf.at[slot, 0], k_sems.at[slot]))
             copies.append(pltpu.make_async_copy(
-                vs_hbm_ref.at[h, b, pl.ds(s0, block_s)],
-                vs_buf.at[slot, 0], v_sems.at[slot]))
+                src(vs_hbm_ref), vs_buf.at[slot, 0], v_sems.at[slot]))
         return copies
 
     # m/l live in lane-padded [g, D] tiles (values replicated across lanes —
@@ -250,9 +260,13 @@ def flash_decode_attention(
     g = n_q // n_kv
     quantized = k_scale is not None
 
-    while S % block_s != 0:
-        block_s //= 2
-    if not interpret and (D % 128 != 0 or block_s % 128 != 0):
+    if S <= block_s:
+        block_s = S          # single-block mode: whole-row DMA, any S
+    else:
+        while S % block_s != 0:
+            block_s //= 2
+    if not interpret and (D % 128 != 0
+                          or (block_s % 128 != 0 and block_s != S)):
         raise ValueError(
             f"flash_decode_attention needs 128-aligned head_dim and S-block "
             f"(got D={D}, block_s={block_s}, S={S}) — Mosaic DMA tiling; "
@@ -331,12 +345,15 @@ def flash_decode_attention(
 
 def flash_decode_supported(n_kv: int, S: int, D: int,
                            dtype_itemsize: int) -> bool:
-    """Gate for the compiled kernel: Mosaic requires BOTH trailing dims of
-    the sliced KV copy 128-aligned — head_dim-64 models ("Slice shape along
-    dimension 3 must be aligned to tiling (128)") and caches with
-    S % 128 != 0 ("... dimension 2 ... but is 32") must stay on the XLA
-    path. Plus a VMEM budget check for the double-buffered K+V blocks."""
-    if D % 128 != 0 or S % 128 != 0:
+    """Gate for the compiled kernel: Mosaic requires SLICED dims of a DMA
+    copy 128-aligned — head_dim-64 models ("Slice shape along dimension 3
+    must be aligned to tiling (128)") must stay on the XLA path. The S dim
+    is only sliced in multi-block mode, so any S works when a single block
+    covers the row (whole-dim copies are exempt); larger caches need
+    S % 128 == 0. Plus a VMEM budget for the double-buffered K+V blocks."""
+    if D % 128 != 0:
         return False
     block = min(S, 512)
+    if S > block and S % 128 != 0:
+        return False
     return 2 * 2 * block * D * dtype_itemsize <= 2 * 1024 * 1024
