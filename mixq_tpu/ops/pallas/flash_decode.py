@@ -2,36 +2,37 @@
 
 The decode step is HBM-bandwidth-bound and the KV cache read dominates its
 bytes at serving context lengths. Two measured failure modes motivate this
-kernel (CLAUDE.md, VERDICT r1):
+kernel (CLAUDE.md, PROFILE_r02.md):
 
   1. XLA lowers the T=1 attention einsums to broadcast-multiply-REDUCE on
      the VPU (no MXU dot at all — verified in the optimized HLO of the 7B
      decode step), so decode attention runs at VPU rate, ~6ms/step off the
      DMA roofline at Llama-2-7B shapes.
   2. Any int8 path that widens K/V to bf16 pays a per-element VPU convert
-     over the whole cache (~8.6G elements/step at B=256 S=128) — that IS
-     the measured "int8 KV slower than bf16" overhead; it cannot be fused
-     away, it must be designed away.
+     over the whole cache — that IS the measured "int8 KV slower than
+     bf16" overhead; it cannot be fused away, it must be designed away.
 
-Design (modeled on the production paged-attention structure in
-jax.experimental.pallas.ops.tpu.paged_attention, simplified for a dense
-per-row cache — no page tables):
+Design (v2 — measured v1 lesson): a paged-attention-style grid of one tiny
+program per (batch row, kv head) is overhead-bound on a DENSE cache
+(8192 programs x 16KB DMAs measured 190ms/step at 7B B=256 S=128). The
+dense layout wants few big programs:
 
-  - cache layout [n_kv, B, S, D]: each (head, row) owns a contiguous [S, D]
-    stripe, so a KV block is one linear DMA.
-  - grid (B, n_kv), sequential; per program an inner loop streams S-blocks
-    through a double-buffered VMEM scratch, with the next block's DMA
-    (including the first block of the next (b, h) program, skipping
-    zero-length rows) issued before computing the current one.
+  - cache layout [n_kv, B, S, D]: each (head, row) owns a contiguous
+    [S, D] stripe.
+  - grid (head_blocks, B): each program DMAs a [h_blk, S, D] K and V
+    block for ONE row (strided over heads, contiguous 64KB+ per head —
+    dims S and D are copied whole, so Mosaic's 128-alignment rule for
+    sliced dims never applies and any S works), double-buffered so the
+    next program's copy overlaps this program's compute.
+  - whole-S rows in VMEM -> ONE single-pass softmax per head; no online
+    merge, no m/l carry.
   - int8 cache: the MXU consumes the int8 bits DIRECTLY (int8 x int8 ->
     int32): q is absmax-quantized once per program, probs are scale-folded
-    and absmax-quantized per block — both tiny [g, *] tensors. Per-token
-    cache scales multiply the small score tiles, never the [S, D] data.
-    The only cache-sized compute is the MXU contraction itself.
+    and absmax-quantized per head — tiny [g, *] tensors. Per-token cache
+    scales multiply the [g, S] score tiles, never the [S, D] data.
   - bf16 cache: bf16 operands straight into the MXU, f32 accumulation.
-  - online softmax (flash) over blocks; per-row valid length and optional
-    kv_start (left-padded prompts) masking; blocks wholly outside
-    [kv_start, length) are skipped, so work scales with real context.
+  - per-row valid length and optional kv_start (left-padded prompts)
+    masking; zero-length rows produce zeros.
 
 Replaces flash_attn_func for decode (reference fused/attn.py:256) and the
 earlier VPU kernel in decode_attention.py (measured VPU-bound).
@@ -49,6 +50,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+_VMEM_BUDGET = 8 * 1024 * 1024      # double-buffered K+V blocks
+
+
+def _pick_h_blk(n_kv: int, S: int, D: int, itemsize: int) -> int:
+    """Largest head-block (divisor of n_kv) whose double-buffered K+V
+    blocks fit the VMEM budget."""
+    h = n_kv
+    while h > 1 and 2 * 2 * h * S * D * itemsize > _VMEM_BUDGET:
+        h //= 2
+    while n_kv % h != 0:
+        h -= 1
+    return max(h, 1)
+
 
 def _kernel(
     # scalar prefetch
@@ -57,191 +71,125 @@ def _kernel(
     buffer_index_ref,     # [1] i32 (persists across grid steps)
     init_flag_ref,        # [1] i32
     # inputs
-    q_ref,                # [g, D] (block of [B, n_q(, 1), D])
+    q_ref,                # [h_blk*g, D] block
     k_hbm_ref,            # [n_kv, B, S, D] in ANY/HBM
     ks_hbm_ref,           # [n_kv, B, S] f32 or None
     v_hbm_ref,
     vs_hbm_ref,
     # outputs
-    o_ref,                # [g, D] f32
-    m_ref,                # [g, 1] f32
-    l_ref,                # [g, 1] f32
+    o_ref,                # [h_blk*g, D]
     # scratch
     k_buf, ks_buf, v_buf, vs_buf, k_sems, v_sems,
     *,
     batch_size: int,
-    n_kv: int,
-    block_s: int,
+    h_blk: int,
+    groups: int,
     quantized: bool,
 ):
-    b, h = pl.program_id(0), pl.program_id(1)
-    length = lengths_ref[b]
+    j, b = pl.program_id(0), pl.program_id(1)
+    n_j = pl.num_programs(0)
 
-    def first_block(bb):
-        return starts_ref[bb] // block_s
-
-    def row_blocks(bb):
-        return lax.div(lengths_ref[bb] + block_s - 1, block_s)
-
-    def compute_block_indices(b, h, i):
-        """Next (b, h, i) with work, scanning forward (stock-kernel logic
-        adapted to dense rows + kv_start block skipping)."""
-
-        def advance_b():
-            next_b = b + 1
-
-            def advance_to_next_live_row():
-                next_next_b = next_b + 1
-                return lax.fori_loop(
-                    next_next_b, batch_size,
-                    lambda _, bb: jnp.where(lengths_ref[bb] == 0, bb + 1, bb),
-                    next_next_b)
-
-            nb = lax.cond(
-                jnp.logical_and(
-                    next_b < batch_size,
-                    lengths_ref[lax.clamp(0, next_b, batch_size - 1)] == 0),
-                advance_to_next_live_row,
-                lambda: next_b)
-            return (nb, 0,
-                    first_block(lax.clamp(0, nb, batch_size - 1)))
-
-        def advance_h():
-            next_h = h + 1
-            return lax.cond(next_h < n_kv,
-                            lambda: (b, next_h, first_block(b)), advance_b)
-
-        return lax.cond(i < row_blocks(b), lambda: (b, h, i), advance_h)
-
-    single_block = block_s == k_hbm_ref.shape[2]
-
-    def make_copies(b, h, i, slot):
-        # Mosaic DMA tiling requires SLICED dims 128-aligned; a whole-dim
-        # copy is exempt — so when one block covers the row, index (h, b)
-        # only and any S works (S=32/48/64 caches, the B=512 point).
-        if single_block:
-            def src(ref):
-                return ref.at[h, b]
-        else:
-            s0 = i * block_s
-
-            def src(ref):
-                return ref.at[h, b, pl.ds(s0, block_s)]
-
+    def make_copies(j, b, slot):
+        h0 = j * h_blk
         copies = [
-            pltpu.make_async_copy(src(k_hbm_ref), k_buf.at[slot],
-                                  k_sems.at[slot]),
-            pltpu.make_async_copy(src(v_hbm_ref), v_buf.at[slot],
-                                  v_sems.at[slot]),
+            pltpu.make_async_copy(
+                k_hbm_ref.at[pl.ds(h0, h_blk), b], k_buf.at[slot],
+                k_sems.at[slot]),
+            pltpu.make_async_copy(
+                v_hbm_ref.at[pl.ds(h0, h_blk), b], v_buf.at[slot],
+                v_sems.at[slot]),
         ]
         if quantized:
             copies.append(pltpu.make_async_copy(
-                src(ks_hbm_ref), ks_buf.at[slot, 0], k_sems.at[slot]))
+                ks_hbm_ref.at[pl.ds(h0, h_blk), b], ks_buf.at[slot],
+                k_sems.at[slot]))
             copies.append(pltpu.make_async_copy(
-                src(vs_hbm_ref), vs_buf.at[slot, 0], v_sems.at[slot]))
+                vs_hbm_ref.at[pl.ds(h0, h_blk), b], vs_buf.at[slot],
+                v_sems.at[slot]))
         return copies
 
-    # m/l live in lane-padded [g, D] tiles (values replicated across lanes —
-    # native tile shape, the stock kernel's trick); keepdims [g, 1] partials
-    # broadcast against them.
-    m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-    l_ref[...] = jnp.zeros_like(l_ref)
-    o_ref[...] = jnp.zeros_like(o_ref)
+    slot = buffer_index_ref[0]
+    init_flag = init_flag_ref[0]
+    init_flag_ref[0] = 0
 
-    q = q_ref[...].astype(jnp.float32)                       # [g, D]
-    scale = 1.0 / (q.shape[-1] ** 0.5)
+    @pl.when(init_flag == 1)
+    def _():                # very first program starts its own DMA
+        for c in make_copies(j, b, slot):
+            c.start()
+
+    # prefetch the next program's block into the other buffer
+    next_b = b + 1
+    next_j = jnp.where(next_b < batch_size, j, j + 1)
+    next_b = jnp.where(next_b < batch_size, next_b, 0)
+    next_slot = 1 - slot
+
+    @pl.when(next_j < n_j)
+    def _():
+        for c in make_copies(next_j, next_b, next_slot):
+            c.start()
+        buffer_index_ref[0] = next_slot
+
+    for c in make_copies(j, b, slot):
+        c.wait()
+
+    length = lengths_ref[b]
+    start = starts_ref[b]
+    S = k_hbm_ref.shape[2]
+    D = q_ref.shape[-1]
+    scale = 1.0 / (D ** 0.5)
+
+    pos = lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    mask = (pos < length) & (pos >= start)                   # [1, S]
+    bias = jnp.where(mask, 0.0, MASK_VALUE)
+    live = (length > 0).astype(jnp.float32)
+
+    q = q_ref[...].astype(jnp.float32)                       # [h_blk*g, D]
     if quantized:
-        # absmax int8 q once per program: both MXU operands are int8
         q_absmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-        q_scale = jnp.maximum(q_absmax / 127.0, 1e-8)        # [g, 1]
+        q_scale = jnp.maximum(q_absmax / 127.0, 1e-8)        # [hg, 1]
         q_i8 = jnp.clip(jnp.round(q / q_scale), -127, 127).astype(jnp.int8)
     else:
         q_bf = q.astype(jnp.bfloat16)
 
-    start = starts_ref[b]
-    i_lo = start // block_s
-
-    def body(i, _):
-        slot = buffer_index_ref[0]
-        init_flag = init_flag_ref[0]
-        init_flag_ref[0] = 0
-
-        @pl.when(init_flag == 1)
-        def _():            # very first program: its own first DMA
-            for c in make_copies(b, h, i, slot):
-                c.start()
-
-        next_b, next_h, next_i = compute_block_indices(b, h, i + 1)
-        next_slot = 1 - slot
-
-        @pl.when(next_b < batch_size)
-        def _():            # prefetch next block (possibly next program's)
-            for c in make_copies(next_b, next_h, next_i, next_slot):
-                c.start()
-            buffer_index_ref[0] = next_slot
-
-        # wait for this block (k copies + scales share k_sems; same for v)
-        for c in make_copies(b, h, i, slot):
-            c.wait()
-
-        s0 = i * block_s
-        pos = s0 + lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
-        mask = (pos < length) & (pos >= start)               # [1, bk]
-
+    for hi in range(h_blk):
+        r0 = hi * groups
+        k_h = k_buf[slot, hi]                                # [S, D]
+        v_h = v_buf[slot, hi]
         if quantized:
-            qk_i32 = jax.lax.dot_general(
-                q_i8, k_buf[slot], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)            # [g, bk]
-            qk = (qk_i32.astype(jnp.float32) * q_scale
-                  * ks_buf[slot] * scale)
+            ks_h = ks_buf[slot, hi].reshape(1, S)
+            vs_h = vs_buf[slot, hi].reshape(1, S)
+            qk_i32 = lax.dot_general(
+                q_i8[r0:r0 + groups], k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)            # [g, S]
+            qk = (qk_i32.astype(jnp.float32)
+                  * q_scale[r0:r0 + groups] * ks_h * scale)
         else:
-            qk = jax.lax.dot_general(
-                q_bf, k_buf[slot],
-                (((1,), (1,)), ((), ())),
+            qk = lax.dot_general(
+                q_bf[r0:r0 + groups], k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-        qk = qk + jnp.where(mask, 0.0, MASK_VALUE)
-
-        m_curr = jnp.max(qk, axis=-1, keepdims=True)         # [g, 1]
-        s_curr = jnp.exp(qk - m_curr)                        # [g, bk]
-        m_prev, l_prev = m_ref[...], l_ref[...]                # [g, D]
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        beta = jnp.exp(m_curr - m_next)
-
+        qk = qk + bias
+        m = jnp.max(qk, axis=-1, keepdims=True)              # [g, 1]
+        p = jnp.exp(qk - m)                                  # [g, S]
+        l = jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
-            # fold per-token v scales into probs, absmax-int8, int8 MXU
-            p = s_curr * vs_buf[slot]                        # [g, bk]
+            p2 = p * vs_h                                    # fold v scales
             p_scale = jnp.maximum(
-                jnp.max(p, axis=-1, keepdims=True) / 127.0, 1e-20)
-            p_i8 = jnp.round(p / p_scale).astype(jnp.int8)   # 0..127
-            pv_i32 = jax.lax.dot_general(
-                p_i8, v_buf[slot], (((1,), (0,)), ((), ())),
+                jnp.max(p2, axis=-1, keepdims=True) / 127.0, 1e-20)
+            p_i8 = jnp.round(p2 / p_scale).astype(jnp.int8)  # 0..127
+            pv = lax.dot_general(
+                p_i8, v_h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)            # [g, D]
-            o_curr = pv_i32.astype(jnp.float32) * p_scale
+            o = pv.astype(jnp.float32) * p_scale / l
         else:
-            o_curr = jax.lax.dot_general(
-                s_curr.astype(jnp.bfloat16), v_buf[slot],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        l_curr = jnp.sum(s_curr, axis=-1, keepdims=True)
-        l_next = alpha * l_prev + beta * l_curr
-        # normalized-accumulator update (stock kernel form); l_next > 0
-        # whenever this body runs (at least one unmasked... masked-only
-        # blocks keep l tiny but finite via exp(MASK - m))
-        o_ref[...] = ((l_prev * alpha * o_ref[...] + beta * o_curr)
-                      / jnp.maximum(l_next, 1e-30)).astype(o_ref.dtype)
-        m_ref[...] = m_next
-        l_ref[...] = l_next
-        return ()
-
-    n_my_blocks = lax.div(length + block_s - 1, block_s)
-    lax.fori_loop(i_lo, n_my_blocks, body, ())
+            o = lax.dot_general(
+                p.astype(jnp.bfloat16), v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / l
+        o_ref[r0:r0 + groups, :] = (o * live).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_s", "interpret"),
+    static_argnames=("interpret",),
 )
 def flash_decode_attention(
     q: jax.Array,                   # [B, n_q, D]
@@ -251,7 +199,6 @@ def flash_decode_attention(
     k_scale: Optional[jax.Array] = None,   # [n_kv, B, S] f32
     v_scale: Optional[jax.Array] = None,
     kv_start=None,                  # scalar or [B] first valid slot
-    block_s: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns attention output [B, n_q, D] in q.dtype."""
@@ -260,38 +207,31 @@ def flash_decode_attention(
     g = n_q // n_kv
     quantized = k_scale is not None
 
-    if S <= block_s:
-        block_s = S          # single-block mode: whole-row DMA, any S
-    else:
-        while S % block_s != 0:
-            block_s //= 2
-    if not interpret and (D % 128 != 0
-                          or (block_s % 128 != 0 and block_s != S)):
-        raise ValueError(
-            f"flash_decode_attention needs 128-aligned head_dim and S-block "
-            f"(got D={D}, block_s={block_s}, S={S}) — Mosaic DMA tiling; "
-            f"gate callers with flash_decode_supported()")
+    h_blk = _pick_h_blk(n_kv, S, D, k.dtype.itemsize)
+    n_j = n_kv // h_blk
 
     lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (B,))
     if kv_start is None:
         kv_start = 0
     starts = jnp.broadcast_to(jnp.asarray(kv_start, jnp.int32), (B,))
 
-    # <1x128>-layout hint for small g (stock-kernel trick): give q a unit
-    # axis so Mosaic doesn't assume an 8-sublane tile for a g-row block
-    if g % 8 != 0:
+    hg = h_blk * g
+    # <1x128>-layout hint for thin blocks (stock paged-attention trick):
+    # a unit axis stops Mosaic assuming an 8-sublane tile for small hg
+    if hg % 8 != 0:
         q_kernel = q.reshape(B, n_q, 1, D)
-        q_spec = pl.BlockSpec((None, g, None, D),
-                              lambda b, h, *_: (b, h, 0, 0))
+        q_spec = pl.BlockSpec((None, hg, None, D),
+                              lambda j, b, *_: (b, j, 0, 0))
         q_launch_dtype = jnp.float32
+        out_shape = jax.ShapeDtypeStruct((B, n_q, 1, D), jnp.float32)
     else:
         q_kernel = q
-        q_spec = pl.BlockSpec((None, g, D), lambda b, h, *_: (b, h, 0))
+        q_spec = pl.BlockSpec((None, hg, D), lambda j, b, *_: (b, j, 0))
         q_launch_dtype = q.dtype
+        out_shape = jax.ShapeDtypeStruct((B, n_q, D), jnp.float32)
 
     kernel = functools.partial(
-        _kernel, batch_size=B, n_kv=n_kv, block_s=block_s,
-        quantized=quantized)
+        _kernel, batch_size=B, h_blk=h_blk, groups=g, quantized=quantized)
 
     in_specs = [
         q_spec,
@@ -301,33 +241,26 @@ def flash_decode_attention(
         pl.BlockSpec(memory_space=pl.ANY) if quantized else None,
     ]
     scratch_shapes = (
-        pltpu.VMEM((2, block_s, D), k.dtype),
-        pltpu.VMEM((2, 1, block_s), jnp.float32) if quantized else None,
-        pltpu.VMEM((2, block_s, D), v.dtype),
-        pltpu.VMEM((2, 1, block_s), jnp.float32) if quantized else None,
+        pltpu.VMEM((2, h_blk, S, D), k.dtype),
+        pltpu.VMEM((2, h_blk, S), jnp.float32) if quantized else None,
+        pltpu.VMEM((2, h_blk, S, D), v.dtype),
+        pltpu.VMEM((2, h_blk, S), jnp.float32) if quantized else None,
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
-    # m/l outputs reuse the q block spec with a full D-wide last dim (values
-    # replicated across lanes — the native tile shape; a 1-wide dim only
-    # lowers when D is 128-aligned, which head_dim 64 models break).
-    out, _, _ = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             in_specs=in_specs,
-            out_specs=[q_spec, q_spec, q_spec],
-            grid=(B, n_kv),
+            out_specs=q_spec,
+            grid=(n_j, B),
             scratch_shapes=scratch_shapes,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-        out_shape=[
-            jax.ShapeDtypeStruct(q_kernel.shape, jnp.float32),
-            jax.ShapeDtypeStruct((*q_kernel.shape[:-1], D), jnp.float32),
-            jax.ShapeDtypeStruct((*q_kernel.shape[:-1], D), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(
         lengths,
@@ -345,15 +278,11 @@ def flash_decode_attention(
 
 def flash_decode_supported(n_kv: int, S: int, D: int,
                            dtype_itemsize: int) -> bool:
-    """Gate for the compiled kernel: Mosaic requires SLICED dims of a DMA
-    copy 128-aligned — head_dim-64 models ("Slice shape along dimension 3
-    must be aligned to tiling (128)") must stay on the XLA path. The S dim
-    is only sliced in multi-block mode, so any S works when a single block
-    covers the row (whole-dim copies are exempt); larger caches need
-    S % 128 == 0. Plus a VMEM budget for the double-buffered K+V blocks."""
+    """Gate for the compiled kernel: Mosaic requires SLICED DMA dims
+    128-aligned — only the head dim is ever sliced (S and D are copied
+    whole), so head_dim-64 models ("Slice shape along dimension 3 must be
+    aligned to tiling (128)") stay on the XLA path while any S works.
+    Plus a VMEM budget for the double-buffered [h_blk, S, D] K+V blocks."""
     if D % 128 != 0:
         return False
-    block = min(S, 512)
-    if S > block and S % 128 != 0:
-        return False
-    return 2 * 2 * block * D * dtype_itemsize <= 2 * 1024 * 1024
+    return 2 * 2 * S * D * dtype_itemsize <= _VMEM_BUDGET   # h_blk=1 floor

@@ -40,7 +40,7 @@ class TestKernelVsAttend:
                      lengths)[:, 0]
         got = flash_decode_attention(
             q.astype(jnp.bfloat16), hm(k.astype(jnp.bfloat16)),
-            hm(v.astype(jnp.bfloat16)), lengths, block_s=128, **INTERP)
+            hm(v.astype(jnp.bfloat16)), lengths, **INTERP)
         np.testing.assert_allclose(np.float32(got), np.float32(ref),
                                    rtol=3e-2, atol=3e-2)
 
@@ -59,7 +59,7 @@ class TestKernelVsAttend:
                      k_scale=sk, v_scale=sv)[:, 0]
         got = flash_decode_attention(
             q, hm(qk8), hm(qv8), lengths, k_scale=hm(sk), v_scale=hm(sv),
-            block_s=128, **INTERP)
+            **INTERP)
         np.testing.assert_allclose(np.float32(got), np.float32(ref),
                                    rtol=3e-2, atol=3e-2)
 
@@ -77,7 +77,7 @@ class TestKernelVsAttend:
         got = flash_decode_attention(
             q.astype(jnp.bfloat16), hm(k.astype(jnp.bfloat16)),
             hm(v.astype(jnp.bfloat16)), lengths, kv_start=start,
-            block_s=64, **INTERP)
+            **INTERP)
         np.testing.assert_allclose(np.float32(got), np.float32(ref),
                                    rtol=3e-2, atol=3e-2)
 
@@ -87,7 +87,7 @@ class TestKernelVsAttend:
         k = jnp.ones((B, S, H, D), jnp.bfloat16)
         lengths = jnp.asarray([64, 0, 32], jnp.int32)
         got = flash_decode_attention(q, hm(k), hm(k), lengths,
-                                     block_s=64, **INTERP)
+                                     **INTERP)
         assert np.all(np.float32(got[1]) == 0.0)
         assert np.all(np.isfinite(np.float32(got)))
 
