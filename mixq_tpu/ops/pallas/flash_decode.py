@@ -156,8 +156,8 @@ def _kernel(
         k_h = k_buf[slot, hi]                                # [S, D]
         v_h = v_buf[slot, hi]
         if quantized:
-            ks_h = ks_buf[slot, hi].reshape(1, S)
-            vs_h = vs_buf[slot, hi].reshape(1, S)
+            ks_h = ks_buf[slot, hi:hi + 1]               # [1, S] (2D read)
+            vs_h = vs_buf[slot, hi:hi + 1]
             qk_i32 = lax.dot_general(
                 q_i8[r0:r0 + groups], k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)            # [g, S]
