@@ -73,7 +73,11 @@ def _kernel(
     # inputs
     q_ref,                # [h_blk*g, D] block
     k_hbm_ref,            # [n_kv, B, S, D] in ANY/HBM
-    ks_hbm_ref,           # [n_kv, B, S] f32 or None
+    ks_hbm_ref,           # [n_kv, B, 1, S] f32 or None (unit sublane axis:
+                          # in [n_kv, B, S] the B dim sits in the tiled
+                          # sublane position and a single-row DMA slice
+                          # would need 8-alignment; the 4D shape moves B
+                          # out of the tiled dims — free reshape in HBM)
     v_hbm_ref,
     vs_hbm_ref,
     # outputs
@@ -156,8 +160,8 @@ def _kernel(
         k_h = k_buf[slot, hi]                                # [S, D]
         v_h = v_buf[slot, hi]
         if quantized:
-            ks_h = ks_buf[slot, hi:hi + 1]               # [1, S] (2D read)
-            vs_h = vs_buf[slot, hi:hi + 1]
+            ks_h = ks_buf[slot, hi]                      # [1, S]
+            vs_h = vs_buf[slot, hi]
             qk_i32 = lax.dot_general(
                 q_i8[r0:r0 + groups], k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)            # [g, S]
@@ -215,6 +219,11 @@ def flash_decode_attention(
         kv_start = 0
     starts = jnp.broadcast_to(jnp.asarray(kv_start, jnp.int32), (B,))
 
+    if quantized:
+        # unit sublane axis so the per-row DMA never slices a tiled dim
+        k_scale = k_scale[:, :, None, :]
+        v_scale = v_scale[:, :, None, :]
+
     hg = h_blk * g
     # <1x128>-layout hint for thin blocks (stock paged-attention trick):
     # a unit axis stops Mosaic assuming an 8-sublane tile for small hg
@@ -242,9 +251,9 @@ def flash_decode_attention(
     ]
     scratch_shapes = (
         pltpu.VMEM((2, h_blk, S, D), k.dtype),
-        pltpu.VMEM((2, h_blk, S), jnp.float32) if quantized else None,
+        pltpu.VMEM((2, h_blk, 1, S), jnp.float32) if quantized else None,
         pltpu.VMEM((2, h_blk, S, D), v.dtype),
-        pltpu.VMEM((2, h_blk, S), jnp.float32) if quantized else None,
+        pltpu.VMEM((2, h_blk, 1, S), jnp.float32) if quantized else None,
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     )
