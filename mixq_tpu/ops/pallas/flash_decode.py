@@ -152,43 +152,78 @@ def _kernel(
         q_absmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
         q_scale = jnp.maximum(q_absmax / 127.0, 1e-8)        # [hg, 1]
         q_i8 = jnp.clip(jnp.round(q / q_scale), -127, 127).astype(jnp.int8)
+        q_all = q_i8.reshape(h_blk, groups, D)
+        qs_all = q_scale.reshape(h_blk, groups, 1)
+        ks = ks_buf[slot].reshape(h_blk, S)
+        vs = vs_buf[slot].reshape(h_blk, S)
+        k_flat = k_buf[slot].reshape(h_blk * S, D)           # free reshape
+        v_flat = v_buf[slot].reshape(h_blk * S, D)
     else:
-        q_bf = q.astype(jnp.bfloat16)
+        q_all = q.astype(jnp.bfloat16).reshape(h_blk, groups, D)
+        k_flat = k_buf[slot].reshape(h_blk * S, D)
+        v_flat = v_buf[slot].reshape(h_blk * S, D)
 
-    for hi in range(h_blk):
-        r0 = hi * groups
-        k_h = k_buf[slot, hi]                                # [S, D]
-        v_h = v_buf[slot, hi]
+    # Per-head mini-dots are sequencer-bound (v2 measured 90ms/step at 7B:
+    # 32 unrolled [g,D]x[D,S] dots + transposes per program). Instead: TWO
+    # big MXU dots per group via the block-diagonal trick —
+    #   qk_full = K_flat[h*S, D] @ q_g^T[D, h]   (all heads at once, no
+    #       big-operand transpose; h==h' diagonal extracted on the VPU)
+    #   pv      = P_blockdiag[h, h*S] @ V_flat[h*S, D]
+    # The h_blk x FLOP waste is MXU-trivial next to the DMA floor; softmax
+    # runs vectorized over all heads.
+    eye = (lax.broadcasted_iota(jnp.int32, (h_blk, 1, h_blk), 0)
+           == lax.broadcasted_iota(jnp.int32, (h_blk, 1, h_blk), 2))
+    # block-diagonal lane mask for PV, built flat (no sublane->lane
+    # relayout): column j of [h, h_blk*S] belongs to head j // S
+    bd_mask = (lax.broadcasted_iota(jnp.int32, (h_blk, h_blk * S), 1) // S
+               == lax.broadcasted_iota(jnp.int32, (h_blk, h_blk * S), 0))
+
+    outs = []
+    for gi in range(groups):
         if quantized:
-            ks_h = ks_buf[slot, hi]                      # [1, S]
-            vs_h = vs_buf[slot, hi]
-            qk_i32 = lax.dot_general(
-                q_i8[r0:r0 + groups], k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)            # [g, S]
-            qk = (qk_i32.astype(jnp.float32)
-                  * q_scale[r0:r0 + groups] * ks_h * scale)
+            q_g = q_all[:, gi, :]                            # [h, D] int8
+            qk_full = lax.dot_general(
+                k_flat, q_g.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)            # [h*S, h]
+            qk3 = qk_full.reshape(h_blk, S, h_blk)
+            diag = jnp.sum(jnp.where(eye, qk3, 0), axis=2)   # [h, S]
+            qk = (diag.astype(jnp.float32)
+                  * qs_all[:, gi, :] * ks * scale)
         else:
-            qk = lax.dot_general(
-                q_bf[r0:r0 + groups], k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-        qk = qk + bias
-        m = jnp.max(qk, axis=-1, keepdims=True)              # [g, 1]
-        p = jnp.exp(qk - m)                                  # [g, S]
+            q_g = q_all[:, gi, :]                            # [h, D] bf16
+            qk_full = lax.dot_general(
+                k_flat, q_g.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qk3 = qk_full.reshape(h_blk, S, h_blk)
+            qk = jnp.sum(jnp.where(eye, qk3, 0), axis=2) * scale
+        qk = qk + bias                                       # [h, S]
+        m = jnp.max(qk, axis=-1, keepdims=True)
+        p = jnp.exp(qk - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
-            p2 = p * vs_h                                    # fold v scales
+            p2 = p * vs                                      # fold v scales
             p_scale = jnp.maximum(
                 jnp.max(p2, axis=-1, keepdims=True) / 127.0, 1e-20)
-            p_i8 = jnp.round(p2 / p_scale).astype(jnp.int8)  # 0..127
+            p_i8 = jnp.round(p2 / p_scale).astype(jnp.int8)  # [h, S]
+            p_bd = jnp.where(bd_mask,
+                             pltpu.repeat(p_i8, h_blk, axis=1), jnp.int8(0))
             pv = lax.dot_general(
-                p_i8, v_h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)            # [g, D]
+                p_bd, v_flat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)            # [h, D]
             o = pv.astype(jnp.float32) * p_scale / l
         else:
-            o = lax.dot_general(
-                p.astype(jnp.bfloat16), v_h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) / l
-        o_ref[r0:r0 + groups, :] = (o * live).astype(o_ref.dtype)
+            p_bd = jnp.where(bd_mask,
+                             pltpu.repeat(p.astype(jnp.bfloat16), h_blk,
+                                          axis=1),
+                             jnp.bfloat16(0))
+            pv = lax.dot_general(
+                p_bd, v_flat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = pv / l
+        outs.append(o * live)                                # [h, D]
+
+    o_all = jnp.stack(outs, axis=1).reshape(h_blk * groups, D)
+    o_ref[...] = o_all.astype(o_ref.dtype)
 
 
 @functools.partial(
