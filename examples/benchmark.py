@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--contexts", default="32,64,128,256,512,1024,2048")
     ap.add_argument("--kv_dtype", default="int8")
+    ap.add_argument("--attn", default="xla",
+                    help="attention impl (xla|flash|xla_int8|pallas)")
     ap.add_argument("--steps", type=int, default=8,
                     help="chain length for decode timing")
     ap.add_argument("--prefill_chains", type=int, default=2,
@@ -68,6 +70,10 @@ def main():
         specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
         params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,
                                      dtype=jnp.bfloat16)
+    if args.attn != "xla":
+        import dataclasses
+
+        specs = dataclasses.replace(specs, attn_impl=args.attn)
     params = jax.device_put(params)
     jax.block_until_ready(params)
 
@@ -82,9 +88,13 @@ def main():
     rows = []
     for C in [int(c) for c in args.contexts.split(",")]:
         S = C + 4 * args.steps + 8          # decode headroom past the context
+        from mixq_tpu.ops.pallas.flash_decode import flash_decode_supported
+
+        hm_ = (args.attn == "flash" and flash_decode_supported(
+            cfg.num_key_value_heads, S, cfg.head_dim_, kv.itemsize))
         mk_cache = lambda: KVCache.create(   # noqa: E731
             cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
-            cfg.head_dim_, kv)
+            cfg.head_dim_, kv, head_major=hm_)
 
         # ---- prefill: chains of dependent prefills (the argmax of one
         # seeds the next prompt) at two lengths, differenced
