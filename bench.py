@@ -71,10 +71,9 @@ def main():
         specs = resolve_specs(QuantConfig.w4a4())
     else:
         specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
-    attn_impl = os.environ.get("BENCH_ATTN", "xla")
-    if attn_impl != "xla":
-        import dataclasses
-        specs = dataclasses.replace(specs, attn_impl=attn_impl)
+    attn_impl = os.environ.get("BENCH_ATTN", "auto")
+    import dataclasses
+    specs = dataclasses.replace(specs, attn_impl=attn_impl)
 
     t0 = time.time()
     params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,
@@ -85,14 +84,14 @@ def main():
     jax.block_until_ready(params)
     print(f"init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
 
-    from mixq_tpu.ops.pallas.flash_decode import flash_decode_supported
+    from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
 
+    head_major = use_head_major_cache(attn_impl, cfg, S, kv_dtype.itemsize)
+    print(f"attn={attn_impl} head_major={head_major} kv={kv_dtype}",
+          file=sys.stderr)
     cache = KVCache.create(cfg.num_hidden_layers, B, S,
                            cfg.num_key_value_heads, cfg.head_dim_, kv_dtype,
-                           head_major=(attn_impl == "flash"
-                                       and flash_decode_supported(
-                                           cfg.num_key_value_heads, S,
-                                           cfg.head_dim_, kv_dtype.itemsize)))
+                           head_major=head_major)
 
     import functools
 

@@ -24,7 +24,7 @@ from mixq_tpu.engine.sampling import SamplingParams, sample
 from mixq_tpu.engine.scheduler import make_scheduler
 from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs, forward
 from mixq_tpu.models.layers import KVCache
-from mixq_tpu.ops.pallas.flash_decode import flash_decode_supported
+from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
 
 
 from mixq_tpu.utils.shapes import round_up as _round_up
@@ -94,12 +94,9 @@ class ContinuousBatchingEngine:
             mc.num_hidden_layers, self.n_slots, self.max_seq,
             mc.num_key_value_heads, mc.head_dim_,
             jnp.dtype(self.ecfg.kv_dtype),
-            head_major=(specs_.attn_impl == "flash"
-                        and (jax.default_backend() != "tpu"
-                             or flash_decode_supported(
-                                 mc.num_key_value_heads, self.max_seq,
-                                 mc.head_dim_,
-                                 jnp.dtype(self.ecfg.kv_dtype).itemsize))))
+            head_major=use_head_major_cache(
+                specs_.attn_impl, mc, self.max_seq,
+                jnp.dtype(self.ecfg.kv_dtype).itemsize))
         if mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
 

@@ -93,19 +93,12 @@ class InferenceEngine:
             self._prefill_ring = _step_ring
 
     def _flash_ok(self, max_seq: int) -> bool:
-        """Head-major flash cache only when the compiled kernel can run
-        (interpret mode on CPU has no tiling limits)."""
-        if self.specs.attn_impl != "flash":
-            return False
-        import jax as _jax
+        """Head-major flash cache when the policy resolves to it (explicit
+        "flash" opt-in, or "auto" on TPU when supported)."""
+        from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
 
-        if _jax.default_backend() != "tpu":
-            return True
-        from mixq_tpu.ops.pallas.flash_decode import flash_decode_supported
-
-        mc = self.model_cfg
-        return flash_decode_supported(
-            mc.num_key_value_heads, max_seq, mc.head_dim_,
+        return use_head_major_cache(
+            self.specs.attn_impl, self.model_cfg, max_seq,
             jnp.dtype(self.engine_cfg.kv_dtype).itemsize)
 
     def _use_ring(self, T: int) -> bool:

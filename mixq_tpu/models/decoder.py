@@ -122,7 +122,10 @@ class DecoderSpecs:
     #              absmax-quantized; requires int8 KV) — no K/V widening
     #   "pallas"   fused VPU kernel (T=1 steps; falls back otherwise —
     #              measured VPU-bound, superseded by "flash")
-    attn_impl: str = "xla"
+    #   "auto"     (default) "flash" on TPU when the kernel supports the
+    #              model/shapes (ops/pallas/flash_decode.use_head_major_cache),
+    #              "xla" otherwise
+    attn_impl: str = "auto"
 
     @classmethod
     def uniform(cls, spec: LinearSpec) -> "DecoderSpecs":

@@ -12,24 +12,32 @@ kernel (CLAUDE.md, PROFILE_r02.md):
      over the whole cache — that IS the measured "int8 KV slower than
      bf16" overhead; it cannot be fused away, it must be designed away.
 
-Design (v2 — measured v1 lesson): a paged-attention-style grid of one tiny
-program per (batch row, kv head) is overhead-bound on a DENSE cache
-(8192 programs x 16KB DMAs measured 190ms/step at 7B B=256 S=128). The
-dense layout wants few big programs:
+Design (v4 — each rule below is a measured lesson, B=256 S=128 7B shapes):
 
   - cache layout [n_kv, B, S, D]: each (head, row) owns a contiguous
     [S, D] stripe.
-  - grid (head_blocks, B): each program DMAs a [h_blk, S, D] K and V
-    block for ONE row (strided over heads, contiguous 64KB+ per head —
-    dims S and D are copied whole, so Mosaic's 128-alignment rule for
-    sliced dims never applies and any S works), double-buffered so the
-    next program's copy overlaps this program's compute.
+  - FEW BIG PROGRAMS: a paged-attention-style grid of one tiny program
+    per (batch row, kv head) is overhead-bound on a dense cache (8192
+    programs x 16KB DMAs measured 190ms/step). Grid is (head_blocks, B):
+    each program DMAs a [h_blk, S, D] K and V block for ONE row (strided
+    over heads, contiguous 64KB+ per head — dims S and D are copied
+    whole, so Mosaic's 128-alignment rule for sliced dims never applies
+    and any S works), double-buffered so the next program's copy overlaps
+    this program's compute. DMA-only mode measures 600-800GB/s.
+  - BATCHED DOTS, NO VPU GLUE: the whole compute is two dot_generals
+    with the head axis as a batch dim ([h,g,D]x[h,S,D] and
+    [h,g,S]x[h,S,D]). Per-head unrolled mini-dots (v2: 2.9ms/call) and
+    a block-diagonal two-big-dots trick (v3: 2.9ms/call) both drowned in
+    VPU work (transposes, diag extraction, masked repeats — bisection
+    showed each such stage costs 0.5-1.5ms); the batched form runs at
+    the DMA roofline (0.335ms = 827GB/s int8, vs XLA's 0.625ms).
   - whole-S rows in VMEM -> ONE single-pass softmax per head; no online
     merge, no m/l carry.
   - int8 cache: the MXU consumes the int8 bits DIRECTLY (int8 x int8 ->
     int32): q is absmax-quantized once per program, probs are scale-folded
-    and absmax-quantized per head — tiny [g, *] tensors. Per-token cache
-    scales multiply the [g, S] score tiles, never the [S, D] data.
+    and absmax-quantized per head — tiny [h, g, *] tensors. Per-token
+    cache scales multiply the [h, g, S] score tiles, never the [S, D]
+    data.
   - bf16 cache: bf16 operands straight into the MXU, f32 accumulation.
   - per-row valid length and optional kv_start (left-padded prompts)
     masking; zero-length rows produce zeros.
@@ -89,6 +97,7 @@ def _kernel(
     h_blk: int,
     groups: int,
     quantized: bool,
+    mode: str = "full",
 ):
     j, b = pl.program_id(0), pl.program_id(1)
     n_j = pl.num_programs(0)
@@ -136,6 +145,19 @@ def _kernel(
     for c in make_copies(j, b, slot):
         c.wait()
 
+    if mode == "dma":
+        # tuning diagnostic: DMA + program structure only (touch every
+        # buffer so nothing is DCE'd, near-zero compute) — establishes the
+        # bandwidth/overhead floor this grid can reach
+        k0 = k_buf[slot, :, 0, :].astype(jnp.float32)        # [h_blk, D]
+        v0 = v_buf[slot, :, 0, :].astype(jnp.float32)
+        o = jnp.broadcast_to((k0 + v0)[:, None, :],
+                             (h_blk, groups, k0.shape[-1]))
+        if quantized:
+            o = o + ks_buf[slot][:, :, :1] + vs_buf[slot][:, :, :1]
+        o_ref[...] = o.reshape(o_ref.shape).astype(o_ref.dtype)
+        return
+
     length = lengths_ref[b]
     start = starts_ref[b]
     S = k_hbm_ref.shape[2]
@@ -147,7 +169,16 @@ def _kernel(
     bias = jnp.where(mask, 0.0, MASK_VALUE)
     live = (length > 0).astype(jnp.float32)
 
+    # Batched-dot formulation: ONE dot_general per contraction with the
+    # head axis as a batch dim — Mosaic schedules the per-head MXU passes
+    # itself with no VPU glue. Measured (B=256 S=128 n_kv=32 D=128 int8,
+    # chain-timed microbench): 0.335ms = 827GB/s — at the DMA roofline,
+    # ~2x XLA's reduce lowering (0.625ms) and ~9x the earlier formulations
+    # (per-head unrolled mini-dots 2.9ms; block-diagonal trick 2.9ms —
+    # the diag-extract/repeat/mask VPU stages each added 0.5-1.5ms).
     q = q_ref[...].astype(jnp.float32)                       # [h_blk*g, D]
+    k3 = k_buf[slot]                                         # [h, S, D]
+    v3 = v_buf[slot]
     if quantized:
         q_absmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
         q_scale = jnp.maximum(q_absmax / 127.0, 1e-8)        # [hg, 1]
@@ -156,79 +187,41 @@ def _kernel(
         qs_all = q_scale.reshape(h_blk, groups, 1)
         ks = ks_buf[slot].reshape(h_blk, S)
         vs = vs_buf[slot].reshape(h_blk, S)
-        k_flat = k_buf[slot].reshape(h_blk * S, D)           # free reshape
-        v_flat = v_buf[slot].reshape(h_blk * S, D)
+        # int8 cache bits straight into the MXU (i8 x i8 -> i32)
+        qk = lax.dot_general(
+            q_all, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)                # [h, g, S]
+        qk = qk.astype(jnp.float32) * qs_all * ks[:, None, :] * scale
     else:
         q_all = q.astype(jnp.bfloat16).reshape(h_blk, groups, D)
-        k_flat = k_buf[slot].reshape(h_blk * S, D)
-        v_flat = v_buf[slot].reshape(h_blk * S, D)
-
-    # Per-head mini-dots are sequencer-bound (v2 measured 90ms/step at 7B:
-    # 32 unrolled [g,D]x[D,S] dots + transposes per program). Instead: TWO
-    # big MXU dots per group via the block-diagonal trick —
-    #   qk_full = K_flat[h*S, D] @ q_g^T[D, h]   (all heads at once, no
-    #       big-operand transpose; h==h' diagonal extracted on the VPU)
-    #   pv      = P_blockdiag[h, h*S] @ V_flat[h*S, D]
-    # The h_blk x FLOP waste is MXU-trivial next to the DMA floor; softmax
-    # runs vectorized over all heads.
-    eye = (lax.broadcasted_iota(jnp.int32, (h_blk, 1, h_blk), 0)
-           == lax.broadcasted_iota(jnp.int32, (h_blk, 1, h_blk), 2))
-    # block-diagonal lane mask for PV, built flat (no sublane->lane
-    # relayout): column j of [h, h_blk*S] belongs to head j // S
-    bd_mask = (lax.broadcasted_iota(jnp.int32, (h_blk, h_blk * S), 1) // S
-               == lax.broadcasted_iota(jnp.int32, (h_blk, h_blk * S), 0))
-
-    outs = []
-    for gi in range(groups):
-        if quantized:
-            q_g = q_all[:, gi, :]                            # [h, D] int8
-            qk_full = lax.dot_general(
-                k_flat, q_g.T, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)            # [h*S, h]
-            qk3 = qk_full.reshape(h_blk, S, h_blk)
-            diag = jnp.sum(jnp.where(eye, qk3, 0), axis=2)   # [h, S]
-            qk = (diag.astype(jnp.float32)
-                  * qs_all[:, gi, :] * ks * scale)
-        else:
-            q_g = q_all[:, gi, :]                            # [h, D] bf16
-            qk_full = lax.dot_general(
-                k_flat, q_g.T, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            qk3 = qk_full.reshape(h_blk, S, h_blk)
-            qk = jnp.sum(jnp.where(eye, qk3, 0), axis=2) * scale
-        qk = qk + bias                                       # [h, S]
-        m = jnp.max(qk, axis=-1, keepdims=True)
-        p = jnp.exp(qk - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        if quantized:
-            p2 = p * vs                                      # fold v scales
-            p_scale = jnp.maximum(
-                jnp.max(p2, axis=-1, keepdims=True) / 127.0, 1e-20)
-            p_i8 = jnp.round(p2 / p_scale).astype(jnp.int8)  # [h, S]
-            p_bd = jnp.where(bd_mask,
-                             pltpu.repeat(p_i8, h_blk, axis=1), jnp.int8(0))
-            pv = lax.dot_general(
-                p_bd, v_flat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)            # [h, D]
-            o = pv.astype(jnp.float32) * p_scale / l
-        else:
-            p_bd = jnp.where(bd_mask,
-                             pltpu.repeat(p.astype(jnp.bfloat16), h_blk,
-                                          axis=1),
-                             jnp.bfloat16(0))
-            pv = lax.dot_general(
-                p_bd, v_flat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o = pv / l
-        outs.append(o * live)                                # [h, D]
-
-    o_all = jnp.stack(outs, axis=1).reshape(h_blk * groups, D)
-    o_ref[...] = o_all.astype(o_ref.dtype)
+        qk = lax.dot_general(
+            q_all, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale      # [h, g, S]
+    qk = qk + bias[None]
+    m = jnp.max(qk, axis=-1, keepdims=True)
+    p = jnp.exp(qk - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if quantized:
+        p2 = p * vs[:, None, :]                              # fold v scales
+        p_scale = jnp.maximum(
+            jnp.max(p2, axis=-1, keepdims=True) / 127.0, 1e-20)
+        p_i8 = jnp.round(p2 / p_scale).astype(jnp.int8)      # [h, g, S]
+        pv = lax.dot_general(
+            p_i8, v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)                # [h, g, D]
+        o = pv.astype(jnp.float32) * p_scale / l
+    else:
+        pv = lax.dot_general(
+            p.astype(jnp.bfloat16), v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o = pv / l
+    o = o * live
+    o_ref[...] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret",),
+    static_argnames=("interpret", "mode", "h_blk"),
 )
 def flash_decode_attention(
     q: jax.Array,                   # [B, n_q, D]
@@ -239,6 +232,9 @@ def flash_decode_attention(
     v_scale: Optional[jax.Array] = None,
     kv_start=None,                  # scalar or [B] first valid slot
     interpret: bool = False,
+    mode: str = "full",             # "dma": diagnostic DMA-floor variant
+                                    # (same grid/copies, compute disabled)
+    h_blk: Optional[int] = None,    # tuning override of the head-block size
 ) -> jax.Array:
     """Returns attention output [B, n_q, D] in q.dtype."""
     B, n_q, D = q.shape
@@ -246,7 +242,8 @@ def flash_decode_attention(
     g = n_q // n_kv
     quantized = k_scale is not None
 
-    h_blk = _pick_h_blk(n_kv, S, D, k.dtype.itemsize)
+    if h_blk is None:
+        h_blk = _pick_h_blk(n_kv, S, D, k.dtype.itemsize)
     n_j = n_kv // h_blk
 
     lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (B,))
@@ -275,7 +272,8 @@ def flash_decode_attention(
         out_shape = jax.ShapeDtypeStruct((B, n_q, D), jnp.float32)
 
     kernel = functools.partial(
-        _kernel, batch_size=B, h_blk=h_blk, groups=g, quantized=quantized)
+        _kernel, batch_size=B, h_blk=h_blk, groups=g, quantized=quantized,
+        mode=mode)
 
     in_specs = [
         q_spec,
@@ -318,6 +316,39 @@ def flash_decode_attention(
         v_scale,
     )
     return out.reshape(B, n_q, D).astype(q.dtype)
+
+
+def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
+                         kv_itemsize: int) -> bool:
+    """Single policy point for 'should serving use the head-major flash
+    cache?' — used by the engine and the continuous-batching pool.
+
+      "flash"  explicit opt-in: head-major whenever the compiled kernel
+               supports the shapes (always on non-TPU backends, where the
+               kernel runs in interpret mode);
+      "auto"   (the default) flash on TPU when supported — measured faster
+               than every XLA lowering for int8 KV and at parity for bf16
+               (see module docstring) — and XLA otherwise;
+      anything else: batch-major cache.
+
+    Models the head-major path cannot serve yet (sliding-window ring
+    caches, ALiBi additive bias) resolve to False.
+    """
+    if attn_impl not in ("flash", "auto"):
+        return False
+    if model_cfg.sliding_window is not None or model_cfg.alibi:
+        return False
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
+    if attn_impl == "auto" and not on_tpu:
+        return False      # interpret-mode kernels are test-only; don't
+                          # default CPU runs onto them
+    if not on_tpu:
+        return True
+    return flash_decode_supported(
+        model_cfg.num_key_value_heads, max_seq, model_cfg.head_dim_,
+        kv_itemsize)
 
 
 def flash_decode_supported(n_kv: int, S: int, D: int,
