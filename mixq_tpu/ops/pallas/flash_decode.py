@@ -185,8 +185,9 @@ def _kernel(
         q_i8 = jnp.clip(jnp.round(q / q_scale), -127, 127).astype(jnp.int8)
         q_all = q_i8.reshape(h_blk, groups, D)
         qs_all = q_scale.reshape(h_blk, groups, 1)
-        ks = ks_buf[slot].reshape(h_blk, S)
-        vs = vs_buf[slot].reshape(h_blk, S)
+        S_pad = ks_buf.shape[-1]         # scales lane dim padded to %128
+        ks = ks_buf[slot].reshape(h_blk, S_pad)[:, :S]
+        vs = vs_buf[slot].reshape(h_blk, S_pad)[:, :S]
         # int8 cache bits straight into the MXU (i8 x i8 -> i32)
         qk = lax.dot_general(
             q_all, k3, (((2,), (2,)), ((0,), (0,))),
@@ -252,9 +253,23 @@ def flash_decode_attention(
     starts = jnp.broadcast_to(jnp.asarray(kv_start, jnp.int32), (B,))
 
     if quantized:
+        # Mosaic requires the LAST dim of the per-row scales DMA to be
+        # 128-aligned even when copied whole ("Slice shape along dimension 3
+        # must be aligned to tiling (128)"); the K/V data blocks are exempt
+        # because their last dim is D (%128 gated). Pad the tiny scale
+        # arrays up front (XLA pad of ~n_kv*B*S*4 bytes, µs-scale) so any
+        # cache capacity S works — the kernel slices the live S lanes back
+        # out in VMEM.
+        S_pad = -(-S // 128) * 128
+        if S_pad != S:
+            pad = ((0, 0), (0, 0), (0, S_pad - S))
+            k_scale = jnp.pad(k_scale, pad)
+            v_scale = jnp.pad(v_scale, pad)
         # unit sublane axis so the per-row DMA never slices a tiled dim
         k_scale = k_scale[:, :, None, :]
         v_scale = v_scale[:, :, None, :]
+    else:
+        S_pad = S
 
     hg = h_blk * g
     # <1x128>-layout hint for thin blocks (stock paged-attention trick):
@@ -284,9 +299,9 @@ def flash_decode_attention(
     ]
     scratch_shapes = (
         pltpu.VMEM((2, h_blk, S, D), k.dtype),
-        pltpu.VMEM((2, h_blk, 1, S), jnp.float32) if quantized else None,
+        pltpu.VMEM((2, h_blk, 1, S_pad), jnp.float32) if quantized else None,
         pltpu.VMEM((2, h_blk, S, D), v.dtype),
-        pltpu.VMEM((2, h_blk, 1, S), jnp.float32) if quantized else None,
+        pltpu.VMEM((2, h_blk, 1, S_pad), jnp.float32) if quantized else None,
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     )
@@ -326,9 +341,10 @@ def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
       "flash"  explicit opt-in: head-major whenever the compiled kernel
                supports the shapes (always on non-TPU backends, where the
                kernel runs in interpret mode);
-      "auto"   (the default) flash on TPU when supported — measured faster
-               than every XLA lowering for int8 KV and at parity for bf16
-               (see module docstring) — and XLA otherwise;
+      "auto"   (the default) flash on TPU for INT8 KV when supported —
+               measured faster than every XLA lowering for int8 (module
+               docstring); bf16 KV stays on XLA (microbench: flash bf16
+               runs ~7% behind XLA's lowering at both S=128 and S=512);
       anything else: batch-major cache.
 
     Models the head-major path cannot serve yet (sliding-window ring
@@ -341,9 +357,9 @@ def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
     import jax as _jax
 
     on_tpu = _jax.default_backend() == "tpu"
-    if attn_impl == "auto" and not on_tpu:
-        return False      # interpret-mode kernels are test-only; don't
-                          # default CPU runs onto them
+    if attn_impl == "auto" and (not on_tpu or kv_itemsize != 1):
+        return False      # interpret-mode kernels are test-only; bf16 KV
+                          # measured marginally faster on the XLA path
     if not on_tpu:
         return True
     return flash_decode_supported(

@@ -187,3 +187,28 @@ class TestHeadMajorSharding:
         sc = shard_kv_cache(cache, mesh)
         assert sc.k.sharding.spec == P(None, "model", "data", None, None)
         assert sc.k_scale.sharding.spec == P(None, "model", "data", None)
+
+
+class TestAutoPolicy:
+    """use_head_major_cache: the single serving-time policy point."""
+
+    def test_policy(self):
+        from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
+
+        mc = ModelConfig.tiny(num_key_value_heads=4)
+        # explicit opt-in runs interpret-mode on CPU backends
+        assert use_head_major_cache("flash", mc, 64, 1)
+        # auto never picks the interpret-mode kernel off-TPU
+        assert not use_head_major_cache("auto", mc, 64, 1)
+        assert not use_head_major_cache("xla", mc, 64, 1)
+        # head-major path can't serve sliding-window or alibi models
+        import dataclasses as _dc
+        win = _dc.replace(mc, sliding_window=32)
+        assert not use_head_major_cache("flash", win, 64, 1)
+        ali = _dc.replace(mc, alibi=True)
+        assert not use_head_major_cache("flash", ali, 64, 1)
+
+    def test_default_is_auto(self):
+        assert DecoderSpecs().attn_impl == "auto"
+        assert DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8)).attn_impl \
+            == "auto"
