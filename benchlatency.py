@@ -65,11 +65,10 @@ def main():
     specs = DecoderSpecs.uniform(LinearSpec(w_bit=w_bits, a_bit=w_bits)
                                  if w_bits < 16
                                  else LinearSpec(version="FP16", w_bit=16))
-    attn_impl = os.environ.get("BENCH_ATTN", "xla")
-    if attn_impl != "xla":
-        import dataclasses
+    attn_impl = os.environ.get("BENCH_ATTN", "auto")
+    import dataclasses
 
-        specs = dataclasses.replace(specs, attn_impl=attn_impl)
+    specs = dataclasses.replace(specs, attn_impl=attn_impl)
 
     params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,
                                  dtype=jnp.bfloat16)
@@ -82,15 +81,12 @@ def main():
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
     def new_cache():
-        from mixq_tpu.ops.pallas.flash_decode import flash_decode_supported
+        from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
 
         return KVCache.create(cfg.num_hidden_layers, B, S,
                               cfg.num_key_value_heads, cfg.head_dim_, kv_dtype,
-                              head_major=(attn_impl == "flash"
-                                          and flash_decode_supported(
-                                              cfg.num_key_value_heads, S,
-                                              cfg.head_dim_,
-                                              kv_dtype.itemsize)))
+                              head_major=use_head_major_cache(
+                                  attn_impl, cfg, S, kv_dtype.itemsize))
 
     prompt = jnp.ones((B, P), jnp.int32)
     one = jnp.ones((B, 1), jnp.int32)

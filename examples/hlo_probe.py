@@ -26,8 +26,12 @@ if attn_impl != "xla":
     specs = dataclasses.replace(specs, attn_impl=attn_impl)
 params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,
                              dtype=jnp.bfloat16)
+from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
+
 cache = KVCache.create(1, B, S, cfg.num_key_value_heads, cfg.head_dim_,
-                       jnp.dtype(kv_name))
+                       jnp.dtype(kv_name),
+                       head_major=use_head_major_cache(
+                           attn_impl, cfg, S, jnp.dtype(kv_name).itemsize))
 
 
 @functools.partial(jax.jit, donate_argnums=(2,))
@@ -39,6 +43,27 @@ def decode(params, tokens, cache):
 tokens = jnp.ones((B, 1), jnp.int32)
 lowered = decode.lower(params, tokens, cache)
 compiled = lowered.compile()
+
+if os.environ.get("PROBE_TIME", "0") == "1":
+    # chain-time the 1-layer step (relay rule: dependent chains ended by
+    # one device_get, two lengths, difference) — in-model per-layer cost
+    # without the 32-layer compile wait
+    import time
+
+    nxt, cache = decode(params, tokens, cache)
+    _ = jax.device_get(nxt)
+
+    def run(n, nxt, cache):
+        t0 = time.time()
+        for _ in range(n):
+            nxt, cache = decode(params, nxt[:, None], cache)
+        _ = jax.device_get(nxt)
+        return time.time() - t0, nxt, cache
+
+    _, nxt, cache = run(4, nxt, cache)
+    t1, nxt, cache = run(32, nxt, cache)
+    t2, nxt, cache = run(64, nxt, cache)
+    print(f"PROBE_TIME per-step: {(t2 - t1) / 32 * 1e3:.3f} ms")
 tag = f"{kv_name}_B{B}_S{S}_{attn_impl}"
 with open(f"/tmp/hlo_{tag}.txt", "w") as f:
     f.write(compiled.as_text())

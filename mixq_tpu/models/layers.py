@@ -185,14 +185,20 @@ class KVCache:
         dtype = jnp.dtype(dtype)
         if head_major:
             shape = (n_layers, n_kv, batch, max_seq, head_dim)
+            # scales' S dim padded to %128: the flash kernel DMAs per-row
+            # scale stripes and Mosaic requires the copied last dim
+            # 128-aligned (flash_decode.py); pad slots are never written
+            # and masked out of the scores
+            sc_shape = (n_layers, n_kv, batch, -(-max_seq // 128) * 128)
         else:
             shape = (n_layers, batch, max_seq, n_kv, head_dim)
+            sc_shape = shape[:-1]
         quantized = dtype == jnp.int8
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
-            k_scale=jnp.ones(shape[:-1], jnp.float32) if quantized else None,
-            v_scale=jnp.ones(shape[:-1], jnp.float32) if quantized else None,
+            k_scale=jnp.ones(sc_shape, jnp.float32) if quantized else None,
+            v_scale=jnp.ones(sc_shape, jnp.float32) if quantized else None,
             length=jnp.zeros((), jnp.int32),
             head_major=head_major,
         )

@@ -74,50 +74,68 @@ def _pick_h_blk(n_kv: int, S: int, D: int, itemsize: int) -> int:
 
 def _kernel(
     # scalar prefetch
+    layer_ref,            # [1] i32 — layer index into the [L, ...] cache.
+                          # The FULL stacked cache is passed and the layer
+                          # picked inside the DMA: a custom-call operand
+                          # cannot fuse with the producing slice, so passing
+                          # cache.k[i] makes XLA materialize a copy of the
+                          # whole layer slice per call (measured +0.4-0.7
+                          # ms/layer in-model — more than the kernel itself)
     lengths_ref,          # [B] i32
     starts_ref,           # [B] i32 (kv_start per row; zeros if unused)
     buffer_index_ref,     # [1] i32 (persists across grid steps)
     init_flag_ref,        # [1] i32
     # inputs
     q_ref,                # [h_blk*g, D] block
-    k_hbm_ref,            # [n_kv, B, S, D] in ANY/HBM
-    ks_hbm_ref,           # [n_kv, B, 1, S] f32 or None (unit sublane axis:
-                          # in [n_kv, B, S] the B dim sits in the tiled
+    k_hbm_ref,            # [L, n_kv, B, S, D] in ANY/HBM
+    ks_hbm_ref,           # [L, n_kv, B, 1, Sp] f32 or None (unit sublane
+                          # axis: in [.., B, Sp] the B dim sits in the tiled
                           # sublane position and a single-row DMA slice
-                          # would need 8-alignment; the 4D shape moves B
-                          # out of the tiled dims — free reshape in HBM)
+                          # would need 8-alignment; the unit axis moves B
+                          # out of the tiled dims — free reshape in HBM.
+                          # Sp = S padded to %128: Mosaic requires the DMA'd
+                          # last dim 128-aligned even when copied whole)
     v_hbm_ref,
     vs_hbm_ref,
     # outputs
     o_ref,                # [h_blk*g, D]
-    # scratch
-    k_buf, ks_buf, v_buf, vs_buf, k_sems, v_sems,
-    *,
+    # aliased cache pass-throughs (never written; may be absent) + scratch
+    *rest,
     batch_size: int,
     h_blk: int,
     groups: int,
     quantized: bool,
     mode: str = "full",
+    n_alias_outs: int = 0,
 ):
+    # rest = [n_alias_outs aliased output refs ...] + 6 scratch refs.
+    # The aliased outputs exist only so XLA sees the cache buffers flow
+    # THROUGH the custom call (operand i aliases output j): without the
+    # alias, buffer assignment inserted full-cache copy-start/copy-done
+    # pairs around the preceding cache updates (measured ~10ms/step at 7B
+    # — the V cache and both scale arrays were each copied twice per
+    # layer). The kernel never reads or writes them.
+    k_buf, ks_buf, v_buf, vs_buf, k_sems, v_sems = rest[n_alias_outs:]
     j, b = pl.program_id(0), pl.program_id(1)
     n_j = pl.num_programs(0)
+    l = layer_ref[0]
 
     def make_copies(j, b, slot):
         h0 = j * h_blk
         copies = [
             pltpu.make_async_copy(
-                k_hbm_ref.at[pl.ds(h0, h_blk), b], k_buf.at[slot],
+                k_hbm_ref.at[l, pl.ds(h0, h_blk), b], k_buf.at[slot],
                 k_sems.at[slot]),
             pltpu.make_async_copy(
-                v_hbm_ref.at[pl.ds(h0, h_blk), b], v_buf.at[slot],
+                v_hbm_ref.at[l, pl.ds(h0, h_blk), b], v_buf.at[slot],
                 v_sems.at[slot]),
         ]
         if quantized:
             copies.append(pltpu.make_async_copy(
-                ks_hbm_ref.at[pl.ds(h0, h_blk), b], ks_buf.at[slot],
+                ks_hbm_ref.at[l, pl.ds(h0, h_blk), b], ks_buf.at[slot],
                 k_sems.at[slot]))
             copies.append(pltpu.make_async_copy(
-                vs_hbm_ref.at[pl.ds(h0, h_blk), b], vs_buf.at[slot],
+                vs_hbm_ref.at[l, pl.ds(h0, h_blk), b], vs_buf.at[slot],
                 v_sems.at[slot]))
         return copies
 
@@ -160,7 +178,7 @@ def _kernel(
 
     length = lengths_ref[b]
     start = starts_ref[b]
-    S = k_hbm_ref.shape[2]
+    S = k_hbm_ref.shape[3]
     D = q_ref.shape[-1]
     scale = 1.0 / (D ** 0.5)
 
@@ -222,31 +240,49 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "mode", "h_blk"),
+    static_argnames=("interpret", "mode", "h_blk", "return_cache"),
 )
 def flash_decode_attention(
     q: jax.Array,                   # [B, n_q, D]
-    k: jax.Array,                   # [n_kv, B, S, D] bf16 | int8 (head-major)
+    k: jax.Array,                   # [(L,) n_kv, B, S, D] bf16 | int8
+                                    # (head-major; pass the FULL stacked
+                                    # cache + `layer` — a 4D layer slice
+                                    # forces XLA to materialize a copy)
     v: jax.Array,
     lengths,                        # scalar or [B] i32 valid length
-    k_scale: Optional[jax.Array] = None,   # [n_kv, B, S] f32
+    k_scale: Optional[jax.Array] = None,   # [(L,) n_kv, B, S or Sp] f32
     v_scale: Optional[jax.Array] = None,
     kv_start=None,                  # scalar or [B] first valid slot
     interpret: bool = False,
     mode: str = "full",             # "dma": diagnostic DMA-floor variant
                                     # (same grid/copies, compute disabled)
     h_blk: Optional[int] = None,    # tuning override of the head-block size
-) -> jax.Array:
-    """Returns attention output [B, n_q, D] in q.dtype."""
+    layer=None,                     # i32 layer index for 5D caches
+    return_cache: bool = False,     # also return (k, v, k_scale, v_scale)
+                                    # ALIASED through the call — callers
+                                    # must thread them into the new cache
+                                    # so XLA keeps one in-place buffer
+                                    # chain (see _kernel's aliasing note)
+):
+    """Returns attention output [B, n_q, D] in q.dtype (and the cache
+    arrays when return_cache)."""
     B, n_q, D = q.shape
-    n_kv, _, S, _ = k.shape
-    g = n_q // n_kv
     quantized = k_scale is not None
+    if k.ndim == 4:                 # single-layer view -> unit layer axis
+        k, v = k[None], v[None]
+        if quantized:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = 0
+    if layer is None:
+        raise ValueError("5D stacked cache requires a layer index")
+    _, n_kv, _, S, _ = k.shape
+    g = n_q // n_kv
 
     if h_blk is None:
         h_blk = _pick_h_blk(n_kv, S, D, k.dtype.itemsize)
     n_j = n_kv // h_blk
 
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape((1,))
     lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (B,))
     if kv_start is None:
         kv_start = 0
@@ -254,20 +290,25 @@ def flash_decode_attention(
 
     if quantized:
         # Mosaic requires the LAST dim of the per-row scales DMA to be
-        # 128-aligned even when copied whole ("Slice shape along dimension 3
+        # 128-aligned even when copied whole ("Slice shape along dimension
         # must be aligned to tiling (128)"); the K/V data blocks are exempt
-        # because their last dim is D (%128 gated). Pad the tiny scale
-        # arrays up front (XLA pad of ~n_kv*B*S*4 bytes, µs-scale) so any
-        # cache capacity S works — the kernel slices the live S lanes back
-        # out in VMEM.
+        # because their last dim is D (%128 gated). KVCache.create allocates
+        # head-major scales pre-padded; pad here only for raw unpadded
+        # inputs (tiny XLA pad, µs-scale).
         S_pad = -(-S // 128) * 128
-        if S_pad != S:
-            pad = ((0, 0), (0, 0), (0, S_pad - S))
+        if k_scale.shape[-1] == S_pad:
+            pass                    # already padded at allocation
+        elif k_scale.shape[-1] == S:
+            pad = ((0, 0),) * (k_scale.ndim - 1) + ((0, S_pad - S),)
             k_scale = jnp.pad(k_scale, pad)
             v_scale = jnp.pad(v_scale, pad)
+        else:
+            raise ValueError(
+                f"k_scale last dim {k_scale.shape[-1]} is neither S={S} "
+                f"nor padded S={S_pad}")
         # unit sublane axis so the per-row DMA never slices a tiled dim
-        k_scale = k_scale[:, :, None, :]
-        v_scale = v_scale[:, :, None, :]
+        k_scale = k_scale[:, :, :, None, :]
+        v_scale = v_scale[:, :, :, None, :]
     else:
         S_pad = S
 
@@ -286,16 +327,30 @@ def flash_decode_attention(
         q_launch_dtype = q.dtype
         out_shape = jax.ShapeDtypeStruct((B, n_q, D), jnp.float32)
 
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if return_cache:
+        # flat operand indices (incl. the 5 scalar-prefetch arrays):
+        # q=5, k=6, (k_scale=7,) v, (v_scale,); output 0 is the attention
+        cache_ops = [k, k_scale, v, v_scale] if quantized else [k, v]
+        input_output_aliases = {6 + i: 1 + i for i in range(len(cache_ops))}
+        alias_shapes = tuple(
+            jax.ShapeDtypeStruct(x.shape, x.dtype) for x in cache_ops)
+        alias_specs = (any_spec,) * len(cache_ops)
+    else:
+        cache_ops = []
+        input_output_aliases = {}
+        alias_shapes = alias_specs = ()
+
     kernel = functools.partial(
         _kernel, batch_size=B, h_blk=h_blk, groups=g, quantized=quantized,
-        mode=mode)
+        mode=mode, n_alias_outs=len(cache_ops))
 
     in_specs = [
         q_spec,
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY) if quantized else None,
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY) if quantized else None,
+        any_spec,
+        any_spec if quantized else None,
+        any_spec,
+        any_spec if quantized else None,
     ]
     scratch_shapes = (
         pltpu.VMEM((2, h_blk, S, D), k.dtype),
@@ -309,17 +364,19 @@ def flash_decode_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             in_specs=in_specs,
-            out_specs=q_spec,
+            out_specs=(q_spec,) + alias_specs,
             grid=(n_j, B),
             scratch_shapes=scratch_shapes,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-        out_shape=out_shape,
+        out_shape=(out_shape,) + alias_shapes,
+        input_output_aliases=input_output_aliases,
         interpret=interpret,
     )(
+        layer_arr,
         lengths,
         starts,
         jnp.zeros((1,), jnp.int32),   # buffer index
@@ -330,7 +387,18 @@ def flash_decode_attention(
         v,
         v_scale,
     )
-    return out.reshape(B, n_q, D).astype(q.dtype)
+    attn = out[0].reshape(B, n_q, D).astype(q.dtype)
+    if not return_cache:
+        return attn
+    if quantized:
+        k_o, ks_o, v_o, vs_o = out[1:]
+        # drop the unit sublane axis added for the scales DMA
+        ks_o = ks_o.reshape(ks_o.shape[:3] + ks_o.shape[4:])
+        vs_o = vs_o.reshape(vs_o.shape[:3] + vs_o.shape[4:])
+    else:
+        k_o, v_o = out[1:]
+        ks_o = vs_o = None
+    return attn, (k_o, v_o, ks_o, vs_o)
 
 
 def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
