@@ -350,10 +350,6 @@ def forward(
 
     def attend_over(q, k_c, v_c, ks_c, vs_c, k_new=None, v_new=None,
                     full=None):
-        """Returns (attn_out, new_full): new_full is the cache arrays
-        ALIASED through the flash kernel (None on every other path) — the
-        caller must thread them into its cache state so XLA keeps one
-        in-place buffer chain (see flash_decode_attention return_cache)."""
         if use_ring_prefill and k_new is not None:
             # sequence-parallel prefill: attention over the fresh chunk only
             # (== attention over the cache when the cache was empty)
@@ -361,7 +357,7 @@ def forward(
 
             return ring_attention(q, k_new, v_new, ring_mesh, ring_axis,
                                   head_axis=ring_head_axis,
-                                  kv_start=kv_start), None
+                                  kv_start=kv_start)
         if head_major:
             if T_ == 1:
                 # the hot path: MXU flash-decode kernel streaming the
@@ -370,27 +366,22 @@ def forward(
                 # passing the k_c layer slice makes XLA materialize a copy
                 # of the whole layer per call (custom-call operands can't
                 # fuse with their producing slice) — the k_c/ks_c slice
-                # args go dead here and are DCE'd. return_cache aliases
-                # the cache operands through the call so buffer assignment
-                # doesn't insert full-cache copies around the updates.
-                import os as _os
-
+                # args go dead here and are DCE'd.
+                # Deliberately NOT aliased (return_cache): aliasing the
+                # cache operands through the pallas call measured +6.3ms
+                # per call on this stack (1-layer probe 8.0ms vs 1.7ms,
+                # identical HLO op inventory — a runtime/relay penalty on
+                # aliased custom-call buffers), far worse than the copies
+                # it was meant to avoid.
                 from mixq_tpu.ops.pallas.flash_decode import (
                     flash_decode_attention)
 
                 k5, v5, ks5, vs5, li = full
-                alias = _os.environ.get("MIXQ_FLASH_ALIAS", "1") == "1"
-                if not alias:        # perf-bisection knob: no aliasing
-                    out = flash_decode_attention(
-                        q[:, 0], k5, v5, kv_len, ks5, vs5,
-                        kv_start=kv_start, layer=li,
-                        interpret=jax.default_backend() != "tpu")
-                    return out[:, None], None
-                out, new_full = flash_decode_attention(
+                out = flash_decode_attention(
                     q[:, 0], k5, v5, kv_len, ks5, vs5,
-                    kv_start=kv_start, layer=li, return_cache=True,
+                    kv_start=kv_start, layer=li,
                     interpret=jax.default_backend() != "tpu")
-                return out[:, None], new_full
+                return out[:, None]
             # prefill chunk on a FRESH cache (the engine guarantees
             # length==0 at entry): attention over the chunk's own fp k/v ==
             # attention over the cache — no transposed cache read needed
@@ -398,26 +389,26 @@ def forward(
                 from mixq_tpu.models.layers import attend_chunked
 
                 return attend_chunked(q, k_new, v_new, q_slot, kv_len,
-                                      kv_start=kv_start), None
+                                      kv_start=kv_start)
             return attend(q, k_new, v_new, q_slot, kv_len,
-                          kv_start=kv_start), None
+                          kv_start=kv_start)
         if use_fused_attn:
             out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c,
                                    kv_start=kv_start)
-            return out[:, None], None
+            return out[:, None]
         if T_ > 512:   # long prefill: bound score memory to O(chunk * S)
             from mixq_tpu.models.layers import attend_chunked
 
             return attend_chunked(
                 q, k_c, v_c, q_slot, kv_len,
                 kv_start=kv_start, sliding_window=cfg.sliding_window,
-                k_scale=ks_c, v_scale=vs_c, alibi=alibi, ring=ring), None
+                k_scale=ks_c, v_scale=vs_c, alibi=alibi, ring=ring)
         return attend(
             q, k_c, v_c, q_slot, kv_len,
             kv_start=kv_start, sliding_window=cfg.sliding_window,
             k_scale=ks_c, v_scale=vs_c,
             int8_compute=specs.attn_impl == "xla_int8", alibi=alibi,
-            ring=ring), None
+            ring=ring)
 
     if params.stacked is not None:
         # scan over layers: one compiled block body (L-times smaller XLA
@@ -505,16 +496,11 @@ def forward(
                     v_c = put(v_c, v)
                 k_all = jax.lax.dynamic_update_index_in_dim(k_all, k_c, i, 0)
                 v_all = jax.lax.dynamic_update_index_in_dim(v_all, v_c, i, 0)
-                out, new_full = attend_over(
+                return attend_over(
                     q, k_c, v_c, ks_c, vs_c, k, v,
                     full=(k_all, v_all,
                           ks_all if quantized_kv else None,
                           vs_all if quantized_kv else None, i))
-                if new_full is not None:     # flash: thread aliased buffers
-                    k_all, v_all, ks_o, vs_o = new_full
-                    if quantized_kv:
-                        ks_all, vs_all = ks_o, vs_o
-                return out
 
             h, stats = block_core(
                 h, bp, kv_apply, cos, sin, specs, cfg, collect_stats)
@@ -545,16 +531,9 @@ def forward(
                 else:
                     cache = cache.update_layer(i, k, v, ring=ring)  # in-place DUS
                 k_c, v_c, ks_c, vs_c = cache.layer_kv(i)
-                out, new_full = attend_over(
+                return attend_over(
                     q, k_c, v_c, ks_c, vs_c, k, v,
                     full=(cache.k, cache.v, cache.k_scale, cache.v_scale, i))
-                if new_full is not None:     # flash: thread aliased buffers
-                    k_o, v_o, ks_o, vs_o = new_full
-                    cache = cache._replace(
-                        k=k_o, v=v_o,
-                        k_scale=ks_o if quantized_kv else cache.k_scale,
-                        v_scale=vs_o if quantized_kv else cache.v_scale)
-                return out
 
             x, stats = block_core(
                 x, bp, kv_apply, cos, sin, specs, cfg, collect_stats)

@@ -99,23 +99,21 @@ def _kernel(
     vs_hbm_ref,
     # outputs
     o_ref,                # [h_blk*g, D]
-    # aliased cache pass-throughs (never written; may be absent) + scratch
-    *rest,
+    # scratch
+    k_buf, ks_buf, v_buf, vs_buf, k_sems, v_sems,
+    *,
     batch_size: int,
     h_blk: int,
     groups: int,
     quantized: bool,
     mode: str = "full",
-    n_alias_outs: int = 0,
 ):
-    # rest = [n_alias_outs aliased output refs ...] + 6 scratch refs.
-    # The aliased outputs exist only so XLA sees the cache buffers flow
-    # THROUGH the custom call (operand i aliases output j): without the
-    # alias, buffer assignment inserted full-cache copy-start/copy-done
-    # pairs around the preceding cache updates (measured ~10ms/step at 7B
-    # — the V cache and both scale arrays were each copied twice per
-    # layer). The kernel never reads or writes them.
-    k_buf, ks_buf, v_buf, vs_buf, k_sems, v_sems = rest[n_alias_outs:]
+    # NOTE measured dead end: aliasing the cache operands through the call
+    # (input_output_aliases + pass-through outputs) to spare XLA's buffer
+    # copies around the cache updates cost +6.3ms PER CALL on this stack
+    # (1-layer 7B probe: 8.0ms vs 1.7ms aliased/not, identical HLO op
+    # inventory — a runtime penalty on aliased Mosaic outputs, likely the
+    # relay's buffer handling). Do not reintroduce without re-measuring.
     j, b = pl.program_id(0), pl.program_id(1)
     n_j = pl.num_programs(0)
     l = layer_ref[0]
@@ -240,7 +238,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "mode", "h_blk", "return_cache"),
+    static_argnames=("interpret", "mode", "h_blk"),
 )
 def flash_decode_attention(
     q: jax.Array,                   # [B, n_q, D]
@@ -258,14 +256,8 @@ def flash_decode_attention(
                                     # (same grid/copies, compute disabled)
     h_blk: Optional[int] = None,    # tuning override of the head-block size
     layer=None,                     # i32 layer index for 5D caches
-    return_cache: bool = False,     # also return (k, v, k_scale, v_scale)
-                                    # ALIASED through the call — callers
-                                    # must thread them into the new cache
-                                    # so XLA keeps one in-place buffer
-                                    # chain (see _kernel's aliasing note)
 ):
-    """Returns attention output [B, n_q, D] in q.dtype (and the cache
-    arrays when return_cache)."""
+    """Returns attention output [B, n_q, D] in q.dtype."""
     B, n_q, D = q.shape
     quantized = k_scale is not None
     if k.ndim == 4:                 # single-layer view -> unit layer axis
@@ -328,22 +320,9 @@ def flash_decode_attention(
         out_shape = jax.ShapeDtypeStruct((B, n_q, D), jnp.float32)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    if return_cache:
-        # flat operand indices (incl. the 5 scalar-prefetch arrays):
-        # q=5, k=6, (k_scale=7,) v, (v_scale,); output 0 is the attention
-        cache_ops = [k, k_scale, v, v_scale] if quantized else [k, v]
-        input_output_aliases = {6 + i: 1 + i for i in range(len(cache_ops))}
-        alias_shapes = tuple(
-            jax.ShapeDtypeStruct(x.shape, x.dtype) for x in cache_ops)
-        alias_specs = (any_spec,) * len(cache_ops)
-    else:
-        cache_ops = []
-        input_output_aliases = {}
-        alias_shapes = alias_specs = ()
-
     kernel = functools.partial(
         _kernel, batch_size=B, h_blk=h_blk, groups=g, quantized=quantized,
-        mode=mode, n_alias_outs=len(cache_ops))
+        mode=mode)
 
     in_specs = [
         q_spec,
@@ -366,14 +345,13 @@ def flash_decode_attention(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             in_specs=in_specs,
-            out_specs=(q_spec,) + alias_specs,
+            out_specs=q_spec,
             grid=(n_j, B),
             scratch_shapes=scratch_shapes,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-        out_shape=(out_shape,) + alias_shapes,
-        input_output_aliases=input_output_aliases,
+        out_shape=out_shape,
         interpret=interpret,
     )(
         layer_arr,
@@ -387,18 +365,7 @@ def flash_decode_attention(
         v,
         v_scale,
     )
-    attn = out[0].reshape(B, n_q, D).astype(q.dtype)
-    if not return_cache:
-        return attn
-    if quantized:
-        k_o, ks_o, v_o, vs_o = out[1:]
-        # drop the unit sublane axis added for the scales DMA
-        ks_o = ks_o.reshape(ks_o.shape[:3] + ks_o.shape[4:])
-        vs_o = vs_o.reshape(vs_o.shape[:3] + vs_o.shape[4:])
-    else:
-        k_o, v_o = out[1:]
-        ks_o = vs_o = None
-    return attn, (k_o, v_o, ks_o, vs_o)
+    return out.reshape(B, n_q, D).astype(q.dtype)
 
 
 def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
