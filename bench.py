@@ -84,14 +84,19 @@ def main():
     jax.block_until_ready(params)
     print(f"init {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
 
-    from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
+    from mixq_tpu.ops.pallas.flash_decode import (DEFAULT_TAIL_R,
+                                                  use_head_major_cache)
 
     head_major = use_head_major_cache(attn_impl, cfg, S, kv_dtype.itemsize)
-    print(f"attn={attn_impl} head_major={head_major} kv={kv_dtype}",
-          file=sys.stderr)
+    # tail-staged decode writes (amortize the head-major scatter); BENCH_TAIL
+    # overrides the default depth, 0 disables
+    tail_r = int(os.environ.get("BENCH_TAIL", str(DEFAULT_TAIL_R))) \
+        if head_major else 0
+    print(f"attn={attn_impl} head_major={head_major} tail_r={tail_r} "
+          f"kv={kv_dtype}", file=sys.stderr)
     cache = KVCache.create(cfg.num_hidden_layers, B, S,
                            cfg.num_key_value_heads, cfg.head_dim_, kv_dtype,
-                           head_major=head_major)
+                           head_major=head_major, tail_r=tail_r)
 
     import functools
 

@@ -29,7 +29,8 @@ from bench import llama2_7b_cfg
 from mixq_tpu.models import DecoderSpecs, KVCache
 from mixq_tpu.models.decoder import forward, init_decoder_params
 from mixq_tpu.ops.mixed_linear import LinearSpec
-from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
+from mixq_tpu.ops.pallas.flash_decode import (DEFAULT_TAIL_R,
+                                              use_head_major_cache)
 
 B = int(os.environ.get("PROBE_B", "256"))
 CHAIN = int(os.environ.get("PROBE_CHAIN", "32"))
@@ -50,6 +51,10 @@ jax.block_until_ready(params)
 class Config:
     def __init__(self, spec_str):
         impl, s, kv = spec_str.strip().split(":")
+        tail_r = 0
+        if "+tail" in impl:                  # e.g. "flash+tail" or
+            impl, _, rs = impl.partition("+tail")   # "flash+tail16"
+            tail_r = int(rs) if rs else DEFAULT_TAIL_R
         self.impl, self.S, self.kv = impl, int(s), jnp.dtype(kv)
         self.name = spec_str.strip()
         specs = dataclasses.replace(base, attn_impl=impl)
@@ -64,7 +69,7 @@ class Config:
         self.decode = decode
         self.new_cache = lambda: KVCache.create(
             1, B, self.S, cfg.num_key_value_heads, cfg.head_dim_, self.kv,
-            head_major=hm)
+            head_major=hm, tail_r=tail_r if hm else 0)
         self.best_ms = float("inf")
 
     def time_once(self):

@@ -149,13 +149,19 @@ class InferenceEngine:
         return loop
 
     def new_cache(self, batch: int, max_seq: Optional[int] = None) -> KVCache:
+        from mixq_tpu.ops.pallas.flash_decode import DEFAULT_TAIL_R
+
         mc = self.model_cfg
         S = max_seq or self.engine_cfg.max_seq_len
+        hm = self._flash_ok(S)
         cache = KVCache.create(
             mc.num_hidden_layers, batch, S,
             mc.num_key_value_heads, mc.head_dim_,
             dtype=jnp.dtype(self.engine_cfg.kv_dtype),
-            head_major=self._flash_ok(S),
+            head_major=hm,
+            # stage decode writes in the token-major tail (amortizes the
+            # head-major single-token scatter; layers.py KVCache docstring)
+            tail_r=DEFAULT_TAIL_R if hm else 0,
         )
         if self.mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache

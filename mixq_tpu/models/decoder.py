@@ -331,6 +331,15 @@ def forward(
         raise NotImplementedError(
             "head-major (flash) KV cache does not support sliding-window or "
             "ALiBi models yet — create the cache with head_major=False")
+    use_tail = cache.k_tail is not None
+    if use_tail and slot_lengths is not None:
+        raise NotImplementedError(
+            "tail-staged (tail_r) caches serve the uniform decode path; "
+            "slot-mode (continuous batching) pools allocate tail_r=0")
+    # valid tail tokens during THIS step's attention (tail_len itself only
+    # advances with cache.advance at the end of the step)
+    tail_count = (cache.tail_count_for_step()
+                  if use_tail and T == 1 else None)
 
     use_fused_attn = (
         specs.attn_impl == "pallas" and T == 1 and not head_major
@@ -376,10 +385,14 @@ def forward(
                 from mixq_tpu.ops.pallas.flash_decode import (
                     flash_decode_attention)
 
-                k5, v5, ks5, vs5, li = full
+                k5, v5, ks5, vs5, li, kt5, vt5, kts5, vts5 = full
                 out = flash_decode_attention(
-                    q[:, 0], k5, v5, kv_len, ks5, vs5,
-                    kv_start=kv_start, layer=li,
+                    q[:, 0], k5, v5,
+                    kv_len - tail_count if kt5 is not None else kv_len,
+                    ks5, vs5, kv_start=kv_start, layer=li,
+                    k_tail=kt5, v_tail=vt5,
+                    kt_scale=kts5, vt_scale=vts5,
+                    tail_lens=tail_count if kt5 is not None else None,
                     interpret=jax.default_backend() != "tpu")
                 return out[:, None]
             # prefill chunk on a FRESH cache (the engine guarantees
@@ -419,11 +432,38 @@ def forward(
         L = cache.k.shape[0]
 
         def body(carry, xs):
-            h, k_all, v_all, ks_all, vs_all = carry
+            h, k_all, v_all, ks_all, vs_all, kt_all, vt_all, kts_all, \
+                vts_all = carry
             bp, i = xs["bp"], xs["i"]
 
             def kv_apply(q, k, v):
                 nonlocal k_all, v_all, ks_all, vs_all
+                nonlocal kt_all, vt_all, kts_all, vts_all
+                if use_tail and T_ == 1 and slot_lengths is None:
+                    # tail-staged decode write: reuse the KVCache tail
+                    # logic on a view over the carry buffers (DUS/cond
+                    # accept the traced layer index)
+                    tmp = cache._replace(
+                        k=k_all, v=v_all,
+                        k_scale=ks_all if quantized_kv else None,
+                        v_scale=vs_all if quantized_kv else None,
+                        k_tail=kt_all, v_tail=vt_all,
+                        kt_scale=kts_all if quantized_kv else None,
+                        vt_scale=vts_all if quantized_kv else None,
+                    )._update_tail(i, k, v)
+                    k_all, v_all = tmp.k, tmp.v
+                    kt_all, vt_all = tmp.k_tail, tmp.v_tail
+                    if quantized_kv:
+                        ks_all, vs_all = tmp.k_scale, tmp.v_scale
+                        kts_all, vts_all = tmp.kt_scale, tmp.vt_scale
+                    return attend_over(
+                        q, None, None, None, None, k, v,
+                        full=(k_all, v_all,
+                              ks_all if quantized_kv else None,
+                              vs_all if quantized_kv else None, i,
+                              kt_all, vt_all,
+                              kts_all if quantized_kv else None,
+                              vts_all if quantized_kv else None))
                 k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
                 v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
                 write_pos = cache.length % cache.max_seq if ring else cache.length
@@ -500,23 +540,36 @@ def forward(
                     q, k_c, v_c, ks_c, vs_c, k, v,
                     full=(k_all, v_all,
                           ks_all if quantized_kv else None,
-                          vs_all if quantized_kv else None, i))
+                          vs_all if quantized_kv else None, i,
+                          None, None, None, None))
 
             h, stats = block_core(
                 h, bp, kv_apply, cos, sin, specs, cfg, collect_stats)
-            return (h, k_all, v_all, ks_all, vs_all), stats
+            return (h, k_all, v_all, ks_all, vs_all,
+                    kt_all, vt_all, kts_all, vts_all), stats
 
+        ph = jnp.zeros((), jnp.int8)       # carry placeholder
         carry0 = (x, cache.k, cache.v,
-                  cache.k_scale if quantized_kv else jnp.zeros((), jnp.int8),
-                  cache.v_scale if quantized_kv else jnp.zeros((), jnp.int8))
+                  cache.k_scale if quantized_kv else ph,
+                  cache.v_scale if quantized_kv else ph,
+                  cache.k_tail if use_tail else ph,
+                  cache.v_tail if use_tail else ph,
+                  cache.kt_scale if use_tail and quantized_kv else ph,
+                  cache.vt_scale if use_tail and quantized_kv else ph)
         xs = {"bp": params.stacked, "i": jnp.arange(L, dtype=jnp.int32)}
-        (x, k_all, v_all, ks_all, vs_all), stats_stacked = jax.lax.scan(
-            body, carry0, xs)
+        (x, k_all, v_all, ks_all, vs_all, kt_all, vt_all, kts_all,
+         vts_all), stats_stacked = jax.lax.scan(body, carry0, xs)
         cache = cache._replace(
             k=k_all, v=v_all,
             k_scale=ks_all if quantized_kv else cache.k_scale,
             v_scale=vs_all if quantized_kv else cache.v_scale,
         )
+        if use_tail:
+            cache = cache._replace(
+                k_tail=kt_all, v_tail=vt_all,
+                kt_scale=kts_all if quantized_kv else cache.kt_scale,
+                vt_scale=vts_all if quantized_kv else cache.vt_scale,
+            )
         if collect_stats:
             for k_, v_ in stats_stacked.items():
                 for i in range(L):
@@ -533,7 +586,9 @@ def forward(
                 k_c, v_c, ks_c, vs_c = cache.layer_kv(i)
                 return attend_over(
                     q, k_c, v_c, ks_c, vs_c, k, v,
-                    full=(cache.k, cache.v, cache.k_scale, cache.v_scale, i))
+                    full=(cache.k, cache.v, cache.k_scale, cache.v_scale, i,
+                          cache.k_tail, cache.v_tail,
+                          cache.kt_scale, cache.vt_scale))
 
             x, stats = block_core(
                 x, bp, kv_apply, cos, sin, specs, cfg, collect_stats)

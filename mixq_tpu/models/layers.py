@@ -166,22 +166,41 @@ class KVCache:
     layout the flash-decode Pallas kernel streams with one linear DMA per
     block (ops/pallas/flash_decode.py). It is a STATIC pytree meta field:
     jit specializes on it and tree_maps require both sides to agree.
+
+    `tail_r=R` (head-major only) additionally allocates a token-major
+    DECODE TAIL [L, R, B, n_kv, hd]: single-token writes into the
+    head-major layout are tile-scattered (h*B 128-byte segments, measured
+    ~0.39 ms/layer at 7B shapes — PROFILE_r02.md), so decode tokens are
+    staged in the tail (contiguous plane writes) and flushed into the
+    main cache every R steps, amortizing the scatter R-fold. The flash
+    kernel attends over main+tail in one softmax. Tail slots hold the
+    same quantized values the direct write would produce, so results are
+    bit-identical to the unstaged path.
     """
 
     k: jax.Array               # [L, B, S, n_kv, hd] | [L, n_kv, B, S, hd]
     v: jax.Array
     k_scale: Optional[jax.Array]   # [L, B, S, n_kv] | [L, n_kv, B, S] (int8)
     v_scale: Optional[jax.Array]
-    length: jax.Array          # [] int32 — valid prefix length
+    length: jax.Array          # [] int32 — valid prefix length (main+tail)
     head_major: bool = _dc.field(default=False,
                                  metadata=dict(static=True))
+    k_tail: Optional[jax.Array] = None   # [L, R, B, n_kv, hd]
+    v_tail: Optional[jax.Array] = None
+    kt_scale: Optional[jax.Array] = None  # [L, B, R, n_kv] (int8 KV; B
+                                          # leads so the kernel's per-row
+                                          # [R, n_kv] block is full-dim —
+                                          # Mosaic block alignment rule)
+    vt_scale: Optional[jax.Array] = None
+    tail_len: Optional[jax.Array] = None  # [] i32 — valid tail tokens
 
     def _replace(self, **kw) -> "KVCache":
         return _dc.replace(self, **kw)
 
     @classmethod
     def create(cls, n_layers, batch, max_seq, n_kv, head_dim,
-               dtype=jnp.bfloat16, head_major: bool = False):
+               dtype=jnp.bfloat16, head_major: bool = False,
+               tail_r: int = 0):
         dtype = jnp.dtype(dtype)
         if head_major:
             shape = (n_layers, n_kv, batch, max_seq, head_dim)
@@ -194,6 +213,21 @@ class KVCache:
             shape = (n_layers, batch, max_seq, n_kv, head_dim)
             sc_shape = shape[:-1]
         quantized = dtype == jnp.int8
+        if tail_r and not head_major:
+            raise ValueError("tail_r staging requires head_major=True")
+        tail_kw = {}
+        if tail_r:
+            t_shape = (n_layers, tail_r, batch, n_kv, head_dim)
+            ts_shape = (n_layers, batch, tail_r, n_kv)
+            tail_kw = dict(
+                k_tail=jnp.zeros(t_shape, dtype),
+                v_tail=jnp.zeros(t_shape, dtype),
+                kt_scale=(jnp.ones(ts_shape, jnp.float32)
+                          if quantized else None),
+                vt_scale=(jnp.ones(ts_shape, jnp.float32)
+                          if quantized else None),
+                tail_len=jnp.zeros((), jnp.int32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -201,6 +235,7 @@ class KVCache:
             v_scale=jnp.ones(sc_shape, jnp.float32) if quantized else None,
             length=jnp.zeros((), jnp.int32),
             head_major=head_major,
+            **tail_kw,
         )
 
     @property
@@ -230,6 +265,9 @@ class KVCache:
         T = k_new.shape[1]
         S = self.max_seq
         hm = self.head_major
+
+        if self.k_tail is not None and T == 1 and not ring:
+            return self._update_tail(layer, k_new, v_new)
 
         def kv_form(x):      # [B,T,n_kv,hd] -> storage layout
             return jnp.moveaxis(x, 2, 0) if hm else x
@@ -284,6 +322,78 @@ class KVCache:
             )
         return out
 
+    @staticmethod
+    def tail_flush_values(kt_c, vt_c, kts_c, vts_c, dtype):
+        """Tail layer slices [R, B, n_kv, hd] (+scales [B, R, n_kv]) ->
+        head-major write values ([n_kv, B, R, hd], scales [n_kv, B, R]).
+        Pure relayout: tail slots already hold the quantized bits."""
+        to_hm = lambda x: jnp.transpose(x, (2, 1, 0, 3)).astype(dtype)
+        sc_hm = (lambda s: jnp.transpose(s, (2, 0, 1)))
+        return (to_hm(kt_c), to_hm(vt_c),
+                sc_hm(kts_c) if kts_c is not None else None,
+                sc_hm(vts_c) if vts_c is not None else None)
+
+    def _update_tail(self, layer: int, k_new, v_new) -> "KVCache":
+        """Decode-step write via the token-major tail: stage the token
+        (contiguous plane write), flushing the full tail into the
+        head-major main cache first when needed (every R steps — the
+        amortized form of the tile-scattered single-token write)."""
+        R = self.k_tail.shape[1]
+        full = self.tail_len == R
+
+        def flushed(bufs):
+            k, v, ks, vs = bufs
+            kq, vq, kss, vss = self.tail_flush_values(
+                self.k_tail[layer], self.v_tail[layer],
+                self.kt_scale[layer] if self.quantized else None,
+                self.vt_scale[layer] if self.quantized else None,
+                self.k.dtype)
+            off = self.length - R          # main valid length at flush
+            k = jax.lax.dynamic_update_slice(k, kq[None], (layer, 0, 0, off, 0))
+            v = jax.lax.dynamic_update_slice(v, vq[None], (layer, 0, 0, off, 0))
+            if self.quantized:
+                ks = jax.lax.dynamic_update_slice(
+                    ks, kss[None], (layer, 0, 0, off))
+                vs = jax.lax.dynamic_update_slice(
+                    vs, vss[None], (layer, 0, 0, off))
+            return k, v, ks, vs
+
+        k, v, ks, vs = jax.lax.cond(
+            full, flushed, lambda b: b,
+            (self.k, self.v, self.k_scale, self.v_scale))
+
+        slot = jnp.where(full, 0, self.tail_len)
+        if self.quantized:
+            qk, sk = Q.quantize_kv(k_new[:, 0])       # [B, n_kv, hd], [B, n_kv]
+            qv, sv = Q.quantize_kv(v_new[:, 0])
+        else:
+            qk, qv = k_new[:, 0], v_new[:, 0]
+            sk = sv = None
+        at = (layer, slot, 0, 0, 0)
+        out = self._replace(
+            k=k, v=v, k_scale=ks, v_scale=vs,
+            k_tail=jax.lax.dynamic_update_slice(
+                self.k_tail, qk[None, None].astype(self.k_tail.dtype), at),
+            v_tail=jax.lax.dynamic_update_slice(
+                self.v_tail, qv[None, None].astype(self.v_tail.dtype), at),
+        )
+        if self.quantized:
+            # scales are [L, B, R, n_kv]; write the step's [B, n_kv] plane
+            s_at = (layer, 0, slot, 0)
+            out = out._replace(
+                kt_scale=jax.lax.dynamic_update_slice(
+                    self.kt_scale, sk[None, :, None], s_at),
+                vt_scale=jax.lax.dynamic_update_slice(
+                    self.vt_scale, sv[None, :, None], s_at),
+            )
+        return out
+
+    def tail_count_for_step(self):
+        """Valid tail tokens DURING the current decode step's attention
+        (i.e. after this step's write): 1 right after a flush, else +1."""
+        R = self.k_tail.shape[1]
+        return jnp.where(self.tail_len == R, 1, self.tail_len + 1)
+
     def update_layer_slots(
         self, layer: int, k_new: jax.Array, v_new: jax.Array,
         slot_lengths: jax.Array, ring: bool = False,
@@ -325,7 +435,14 @@ class KVCache:
         return self.k[layer], self.v[layer], None, None
 
     def advance(self, t: int) -> "KVCache":
-        return self._replace(length=self.length + t)
+        out = self._replace(length=self.length + t)
+        if self.tail_len is not None and t == 1:
+            # a decode step consumed one tail slot (post-flush slot 0 when
+            # the tail was full); prefill chunks (t>1) write main directly
+            R = self.k_tail.shape[1]
+            out = out._replace(
+                tail_len=jnp.where(self.tail_len == R, 1, self.tail_len + 1))
+        return out
 
 
 # ---------------------------------------------------------------------------

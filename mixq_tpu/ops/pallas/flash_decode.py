@@ -60,6 +60,14 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 _VMEM_BUDGET = 8 * 1024 * 1024      # double-buffered K+V blocks
 
+# Tail-buffer depth (KVCache.create(tail_r=...)): single-token head-major
+# cache writes are tile-scattered (h*B 128-byte segments, measured ~0.39
+# ms/layer at 7B B=256 — PROFILE_r02.md "In-model integration"), so decode
+# tokens are staged in a token-major [L, R, B, h, d] tail (contiguous
+# plane writes) and flushed into the head-major main cache every R steps,
+# amortizing the scatter R-fold. R=8 costs +R int8 KV slots/row of HBM.
+DEFAULT_TAIL_R = 8
+
 
 def _pick_h_blk(n_kv: int, S: int, D: int, itemsize: int) -> int:
     """Largest head-block (divisor of n_kv) whose double-buffered K+V
@@ -81,8 +89,9 @@ def _kernel(
                           # cache.k[i] makes XLA materialize a copy of the
                           # whole layer slice per call (measured +0.4-0.7
                           # ms/layer in-model — more than the kernel itself)
-    lengths_ref,          # [B] i32
+    lengths_ref,          # [B] i32 — valid length in the MAIN cache
     starts_ref,           # [B] i32 (kv_start per row; zeros if unused)
+    tail_lens_ref,        # [B] i32 — valid tokens in the tail buffer
     buffer_index_ref,     # [1] i32 (persists across grid steps)
     init_flag_ref,        # [1] i32
     # inputs
@@ -97,6 +106,15 @@ def _kernel(
                           # last dim 128-aligned even when copied whole)
     v_hbm_ref,
     vs_hbm_ref,
+    kt_ref,               # [R, n_kv, D] tail block (auto-pipelined
+                          # BlockSpec, all dims whole — the tail is small,
+                          # token-major [L, R, B, h, D]; the kernel slices
+                          # its h_blk head range when the grid splits) or
+                          # None
+    kts_ref,              # [R, n_kv] f32 tail scales (stored [L,B,R,h]) or
+                          # None
+    vt_ref,
+    vts_ref,
     # outputs
     o_ref,                # [h_blk*g, D]
     # scratch
@@ -106,6 +124,7 @@ def _kernel(
     h_blk: int,
     groups: int,
     quantized: bool,
+    has_tail: bool,
     mode: str = "full",
 ):
     # NOTE measured dead end: aliasing the cache operands through the call
@@ -176,6 +195,7 @@ def _kernel(
 
     length = lengths_ref[b]
     start = starts_ref[b]
+    tail_len = tail_lens_ref[b]
     S = k_hbm_ref.shape[3]
     D = q_ref.shape[-1]
     scale = 1.0 / (D ** 0.5)
@@ -183,7 +203,7 @@ def _kernel(
     pos = lax.broadcasted_iota(jnp.int32, (1, S), 1)
     mask = (pos < length) & (pos >= start)                   # [1, S]
     bias = jnp.where(mask, 0.0, MASK_VALUE)
-    live = (length > 0).astype(jnp.float32)
+    live = ((length + tail_len) > 0).astype(jnp.float32)
 
     # Batched-dot formulation: ONE dot_general per contraction with the
     # head axis as a batch dim — Mosaic schedules the per-head MXU passes
@@ -215,9 +235,54 @@ def _kernel(
             q_all, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale      # [h, g, S]
     qk = qk + bias[None]
-    m = jnp.max(qk, axis=-1, keepdims=True)
+
+    if has_tail:
+        # Tail scores: recent unflushed tokens live in a token-major tail
+        # buffer ([R, h_blk, D] block). The tail is tiny (R<=32), so it is
+        # widened + scale-folded on the VPU (negligible vs the [S, D]
+        # cache) and joined into the SAME softmax as the main scores.
+        R = kt_ref.shape[0]
+        ktw = kt_ref[...]                                    # [R, n_kv, D]
+        vtw = vt_ref[...]
+        kts = kts_ref[...] if quantized else None            # [R, n_kv]
+        vts = vts_ref[...] if quantized else None
+        if kt_ref.shape[1] != h_blk:     # head grid split: slice our range
+            sl = lambda x, ax: lax.dynamic_slice_in_dim(
+                x, pl.program_id(0) * h_blk, h_blk, axis=ax)
+            ktw, vtw = sl(ktw, 1), sl(vtw, 1)
+            if quantized:
+                kts, vts = sl(kts, 1), sl(vts, 1)
+        # head-major [h, R, D] for the batched dots: Mosaic's tpu.matmul
+        # requires BOTH batch dims at operand position 0 ("batch dims must
+        # be equal") — a [R,h,*]-batched-on-dim-1 form fails to lower. The
+        # swap is a ~32KB relayout, negligible next to the [S, D] blocks.
+        ktw = jnp.swapaxes(ktw, 0, 1).astype(jnp.float32)    # [h, R, D]
+        vtw = jnp.swapaxes(vtw, 0, 1).astype(jnp.float32)
+        if quantized:
+            ktw = ktw * jnp.swapaxes(kts, 0, 1)[..., None]   # [h, R, 1]
+            vtw = vtw * jnp.swapaxes(vts, 0, 1)[..., None]
+        q_t = q.astype(jnp.bfloat16).reshape(h_blk, groups, D)
+        qk_t = lax.dot_general(                              # [h, g, R]
+            q_t, ktw.astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        tpos = lax.broadcasted_iota(jnp.int32, (1, R), 1)
+        qk_t = qk_t + jnp.where(tpos < tail_len, 0.0, MASK_VALUE)[None]
+        m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True),
+                        jnp.max(qk_t, axis=-1, keepdims=True))
+        p_t = jnp.exp(qk_t - m)
+        pv_t = lax.dot_general(                              # [h, g, D]
+            p_t.astype(jnp.bfloat16), vtw.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        l_t = jnp.sum(p_t, axis=-1, keepdims=True)
+    else:
+        m = jnp.max(qk, axis=-1, keepdims=True)
+        pv_t = 0.0
+        l_t = 0.0
+
     p = jnp.exp(qk - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p, axis=-1, keepdims=True) + l_t
     if quantized:
         p2 = p * vs[:, None, :]                              # fold v scales
         p_scale = jnp.maximum(
@@ -226,12 +291,12 @@ def _kernel(
         pv = lax.dot_general(
             p_i8, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)                # [h, g, D]
-        o = pv.astype(jnp.float32) * p_scale / l
+        o = (pv.astype(jnp.float32) * p_scale + pv_t) / l
     else:
         pv = lax.dot_general(
             p.astype(jnp.bfloat16), v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        o = pv / l
+        o = (pv + pv_t) / l
     o = o * live
     o_ref[...] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
@@ -247,10 +312,17 @@ def flash_decode_attention(
                                     # cache + `layer` — a 4D layer slice
                                     # forces XLA to materialize a copy)
     v: jax.Array,
-    lengths,                        # scalar or [B] i32 valid length
+    lengths,                        # scalar or [B] i32 valid length in the
+                                    # MAIN cache (excludes tail tokens)
     k_scale: Optional[jax.Array] = None,   # [(L,) n_kv, B, S or Sp] f32
     v_scale: Optional[jax.Array] = None,
     kv_start=None,                  # scalar or [B] first valid slot
+    k_tail: Optional[jax.Array] = None,    # [(L,) R, B, n_kv, D] token-major
+                                    # tail buffer (KVCache tail staging)
+    v_tail: Optional[jax.Array] = None,
+    kt_scale: Optional[jax.Array] = None,  # [(L,) B, R, n_kv] f32
+    vt_scale: Optional[jax.Array] = None,
+    tail_lens=None,                 # scalar or [B] valid tail tokens
     interpret: bool = False,
     mode: str = "full",             # "dma": diagnostic DMA-floor variant
                                     # (same grid/copies, compute disabled)
@@ -260,10 +332,15 @@ def flash_decode_attention(
     """Returns attention output [B, n_q, D] in q.dtype."""
     B, n_q, D = q.shape
     quantized = k_scale is not None
+    has_tail = k_tail is not None
     if k.ndim == 4:                 # single-layer view -> unit layer axis
         k, v = k[None], v[None]
         if quantized:
             k_scale, v_scale = k_scale[None], v_scale[None]
+        if has_tail:
+            k_tail, v_tail = k_tail[None], v_tail[None]
+            if quantized:
+                kt_scale, vt_scale = kt_scale[None], vt_scale[None]
         layer = 0
     if layer is None:
         raise ValueError("5D stacked cache requires a layer index")
@@ -279,6 +356,9 @@ def flash_decode_attention(
     if kv_start is None:
         kv_start = 0
     starts = jnp.broadcast_to(jnp.asarray(kv_start, jnp.int32), (B,))
+    if tail_lens is None:
+        tail_lens = 0
+    tail_lens = jnp.broadcast_to(jnp.asarray(tail_lens, jnp.int32), (B,))
 
     if quantized:
         # Mosaic requires the LAST dim of the per-row scales DMA to be
@@ -322,7 +402,27 @@ def flash_decode_attention(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     kernel = functools.partial(
         _kernel, batch_size=B, h_blk=h_blk, groups=g, quantized=quantized,
-        mode=mode)
+        has_tail=has_tail, mode=mode)
+
+    if has_tail:
+        R = k_tail.shape[1]
+        # auto-pipelined blocks (not manual DMA). Mosaic requires each of
+        # the block's LAST TWO dims to be 8/128-divisible OR equal to the
+        # full array dim — so every tail block takes its dims WHOLE (the
+        # tail is tiny; R*n_kv*D int8 is KBs): values [L, R, B, n_kv, D]
+        # -> [R, n_kv, D] per (layer, b); scales are stored [L, B, R,
+        # n_kv] so their block [R, n_kv] is also full-dim. The kernel
+        # slices the h_blk head range itself when the head grid splits.
+        # The layer index comes from the prefetched scalar (index maps
+        # receive the scalar refs after the grid ids).
+        kt_spec = pl.BlockSpec(
+            (None, R, None, n_kv, D),
+            lambda j, b, layer, *_: (layer[0], 0, b, 0, 0))
+        kts_spec = pl.BlockSpec(
+            (None, None, R, n_kv),
+            lambda j, b, layer, *_: (layer[0], b, 0, 0))
+    else:
+        kt_spec = kts_spec = None
 
     in_specs = [
         q_spec,
@@ -330,6 +430,10 @@ def flash_decode_attention(
         any_spec if quantized else None,
         any_spec,
         any_spec if quantized else None,
+        kt_spec,
+        kts_spec if quantized else None,
+        kt_spec,
+        kts_spec if quantized else None,
     ]
     scratch_shapes = (
         pltpu.VMEM((2, h_blk, S, D), k.dtype),
@@ -343,7 +447,7 @@ def flash_decode_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             in_specs=in_specs,
             out_specs=q_spec,
             grid=(n_j, B),
@@ -357,6 +461,7 @@ def flash_decode_attention(
         layer_arr,
         lengths,
         starts,
+        tail_lens,
         jnp.zeros((1,), jnp.int32),   # buffer index
         jnp.ones((1,), jnp.int32),    # init flag
         q_kernel.astype(q_launch_dtype),
@@ -364,6 +469,10 @@ def flash_decode_attention(
         k_scale,
         v,
         v_scale,
+        k_tail,
+        kt_scale if quantized else None,
+        v_tail,
+        vt_scale if quantized else None,
     )
     return out.reshape(B, n_q, D).astype(q.dtype)
 

@@ -118,12 +118,13 @@ def decoder_pspecs(params: DecoderParams) -> DecoderParams:
 
 
 def kv_cache_pspecs(shard_heads: bool = True, quantized: bool = False,
-                    head_major: bool = False) -> KVCache:
+                    head_major: bool = False, tail: bool = False) -> KVCache:
     """KV cache [L, B, S, n_kv, hd]: batch on 'data', kv heads on 'model'.
     For MQA (n_kv=1) set shard_heads=False (heads can't split; KV replicates
     on the model axis). int8-KV scale arrays [L, B, S, n_kv] follow the same
     batch/head split. head_major caches ([L, n_kv, B, S, hd], the
-    flash-decode layout) shard the same logical axes."""
+    flash-decode layout) shard the same logical axes, as do their
+    token-major decode tails [L, R, B, n_kv, hd]."""
     head_axis = MODEL_AXIS if shard_heads else None
     if head_major:
         kv = P(None, head_axis, DATA_AXIS, None, None)
@@ -131,8 +132,15 @@ def kv_cache_pspecs(shard_heads: bool = True, quantized: bool = False,
     else:
         kv = P(None, DATA_AXIS, None, head_axis, None)
         sc = P(None, DATA_AXIS, None, head_axis) if quantized else None
+    tail_kw = {}
+    if tail:
+        t_kv = P(None, None, DATA_AXIS, head_axis, None)
+        # tail scales are [L, B, R, n_kv] (layers.py KVCache)
+        t_sc = P(None, DATA_AXIS, None, head_axis) if quantized else None
+        tail_kw = dict(k_tail=t_kv, v_tail=t_kv, kt_scale=t_sc,
+                       vt_scale=t_sc, tail_len=P())
     return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc, length=P(),
-                   head_major=head_major)
+                   head_major=head_major, **tail_kw)
 
 
 def shard_decoder_params(
@@ -154,7 +162,8 @@ def shard_kv_cache(
         tp = mesh.shape.get(MODEL_AXIS, 1)
         shard_heads = n_kv % tp == 0
     pspecs = kv_cache_pspecs(shard_heads, quantized=cache.quantized,
-                             head_major=cache.head_major)
+                             head_major=cache.head_major,
+                             tail=cache.k_tail is not None)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         cache, pspecs,
