@@ -42,10 +42,13 @@ CONFIGS = os.environ.get(
 
 cfg = llama2_7b_cfg(1)
 base = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+print("# init params...", file=sys.stderr, flush=True)
 params = init_decoder_params(jax.random.PRNGKey(0), cfg, base,
                              dtype=jnp.bfloat16)
+print("# device_put...", file=sys.stderr, flush=True)
 params = jax.device_put(params)
 jax.block_until_ready(params)
+print("# params ready", file=sys.stderr, flush=True)
 
 
 class Config:
@@ -60,13 +63,18 @@ class Config:
         specs = dataclasses.replace(base, attn_impl=impl)
         hm = use_head_major_cache(impl, cfg, self.S, self.kv.itemsize)
 
-        @functools.partial(jax.jit, donate_argnums=(1,),
+        # params is an explicit jit ARG (not a closure capture): closed-over
+        # arrays are lowered as embedded HLO constants, and the ~0.5GB
+        # compile payload reliably wedges the relay's compile ingest
+        # (observed: probe stuck in tcp_sendmsg for 20+ min while bench.py,
+        # which passes params explicitly, compiled the same step fine)
+        @functools.partial(jax.jit, donate_argnums=(2,),
                            static_argnames=())
-        def decode(tokens, cache):
+        def decode(params, tokens, cache):
             logits, cache = forward(params, tokens, cache, specs, cfg)
             return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
-        self.decode = decode
+        self.decode = lambda tokens, cache: decode(params, tokens, cache)
         self.new_cache = lambda: KVCache.create(
             1, B, self.S, cfg.num_key_value_heads, cfg.head_dim_, self.kv,
             head_major=hm, tail_r=tail_r if hm else 0)

@@ -485,10 +485,14 @@ def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
       "flash"  explicit opt-in: head-major whenever the compiled kernel
                supports the shapes (always on non-TPU backends, where the
                kernel runs in interpret mode);
-      "auto"   (the default) flash on TPU for INT8 KV when supported —
-               measured faster than every XLA lowering for int8 (module
-               docstring); bf16 KV stays on XLA (microbench: flash bf16
-               runs ~7% behind XLA's lowering at both S=128 and S=512);
+      "auto"   (the default) flash on TPU for INT8 KV at max_seq >= 128 —
+               measured faster than every XLA lowering there (1-layer 7B
+               in-model probe, B=256: flash+tail 1.405 ms vs xla 1.592 /
+               flash-no-tail 1.748; examples/decode_probe.py). At S=32
+               XLA's reduce lowering still wins (0.944 vs 1.604: the
+               kernel's fixed overhead + sub-lane S padding don't pay off
+               when per-step KV traffic is tiny). bf16 KV stays on XLA
+               (flash bf16 ~7% behind at S=128 and S=512);
       anything else: batch-major cache.
 
     Models the head-major path cannot serve yet (sliding-window ring
@@ -501,9 +505,10 @@ def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
     import jax as _jax
 
     on_tpu = _jax.default_backend() == "tpu"
-    if attn_impl == "auto" and (not on_tpu or kv_itemsize != 1):
+    if attn_impl == "auto" and (not on_tpu or kv_itemsize != 1
+                                or max_seq < 128):
         return False      # interpret-mode kernels are test-only; bf16 KV
-                          # measured marginally faster on the XLA path
+                          # and short contexts measured faster on XLA
     if not on_tpu:
         return True
     return flash_decode_supported(
