@@ -105,16 +105,38 @@ def main():
         logits, cache = forward(params, tokens, cache, specs, cfg)
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def flush(cache):
+        return cache.flush_tail()
+
+    step_count = 0
+
+    def one_step(nxt, cache):
+        # tail-staged caches flush once per full R-window (its own
+        # program — the amortized main-cache write, included in timing)
+        nonlocal step_count
+        nxt, cache = decode(params, nxt[:, None], cache)
+        step_count += 1
+        if tail_r and step_count % tail_r == 0:
+            cache = flush(cache)
+        return nxt, cache
+
     tokens = jnp.ones((B, 1), jnp.int32)
+
+    if os.environ.get("BENCH_DEBUG_MEM", "0") == "1":
+        ma = decode.lower(params, tokens, cache).compile().memory_analysis()
+        print(f"memory_analysis: {ma}", file=sys.stderr)
 
     t0 = time.time()
     nxt, cache = decode(params, tokens, cache)
     _ = jax.device_get(nxt)
+    if tail_r:
+        cache = flush(cache)           # compile the flush program too
     print(f"compile+first step {time.time()-t0:.1f}s", file=sys.stderr)
 
     # warmup (reference uses 10 warmup steps, benchflops.py:110)
     for _ in range(3):
-        nxt, cache = decode(params, nxt[:, None], cache)
+        nxt, cache = one_step(nxt, cache)
     _ = jax.device_get(nxt)
 
     # NOTE: through the remote-execution relay, block_until_ready() returns
@@ -124,7 +146,7 @@ def main():
     def run_chain(n, nxt, cache):
         t0 = time.time()
         for _ in range(n):
-            nxt, cache = decode(params, nxt[:, None], cache)
+            nxt, cache = one_step(nxt, cache)
         _ = jax.device_get(nxt)
         return time.time() - t0, nxt, cache
 

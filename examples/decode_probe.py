@@ -74,6 +74,12 @@ class Config:
             logits, cache = forward(params, tokens, cache, specs, cfg)
             return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def flush(cache):
+            return cache.flush_tail()
+
+        self.tail_r = tail_r if hm else 0
+        self.flush = flush
         self.decode = lambda tokens, cache: decode(params, tokens, cache)
         self.new_cache = lambda: KVCache.create(
             1, B, self.S, cfg.num_key_value_heads, cfg.head_dim_, self.kv,
@@ -85,11 +91,21 @@ class Config:
         tokens = jnp.ones((B, 1), jnp.int32)
         nxt, cache = self.decode(tokens, cache)     # warm
         _ = jax.device_get(nxt)
+        if self.tail_r:
+            cache = self.flush(cache)               # warm the flush too
+        self._step = 0
+
+        def step(nxt, cache):
+            nxt, cache = self.decode(nxt[:, None], cache)
+            self._step += 1
+            if self.tail_r and self._step % self.tail_r == 0:
+                cache = self.flush(cache)           # amortized window write
+            return nxt, cache
 
         def run(n, nxt, cache):
             t0 = time.time()
             for _ in range(n):
-                nxt, cache = self.decode(nxt[:, None], cache)
+                nxt, cache = step(nxt, cache)
             _ = jax.device_get(nxt)
             return time.time() - t0, nxt, cache
 

@@ -28,10 +28,11 @@ params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs,
                              dtype=jnp.bfloat16)
 from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
 
+_hm = use_head_major_cache(attn_impl, cfg, S, jnp.dtype(kv_name).itemsize)
+_tail = int(os.environ.get("PROBE_TAIL", "0"))
 cache = KVCache.create(1, B, S, cfg.num_key_value_heads, cfg.head_dim_,
-                       jnp.dtype(kv_name),
-                       head_major=use_head_major_cache(
-                           attn_impl, cfg, S, jnp.dtype(kv_name).itemsize))
+                       jnp.dtype(kv_name), head_major=_hm,
+                       tail_r=_tail if _hm else 0)
 
 
 @functools.partial(jax.jit, donate_argnums=(2,))

@@ -70,6 +70,15 @@ class InferenceEngine:
         self._decode = _step
         self._sample = _sample
 
+        # tail-window flush as its OWN compiled program: the decode step
+        # never touches the main cache (KVCache docstring); the engine
+        # calls this exactly when R tokens have been staged
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _flush(cache):
+            return cache.flush_tail()
+
+        self._flush = _flush
+
         self._decode_loops = {}
 
         # sequence-parallel (ring-attention) prefill step: context
@@ -112,7 +121,13 @@ class InferenceEngine:
         with on-device sampling and all-rows-EOS early exit — the TPU-native
         decode shape (the stepwise path syncs the host every token for the
         EOS check; through the relay that's a round-trip per token). Cached
-        per (max_steps, sampling)."""
+        per (max_steps, sampling).
+
+        With a tail-staged cache the loop runs in WINDOWS: each while
+        iteration scans R decode steps then flushes the tail (flush_tail
+        must run once per full window, outside the per-step graph —
+        KVCache docstring). Early exit granularity becomes R steps; rows
+        already done keep emitting eos into the (R-padded) buffer."""
         key_ = (max_steps, sp)
         fn = self._decode_loops.get(key_)
         if fn is not None:
@@ -122,14 +137,17 @@ class InferenceEngine:
         @functools.partial(jax.jit, donate_argnums=(2,))
         def loop(params, first_tok, cache, kv_start, key, eos_id):
             B = first_tok.shape[0]
-            buf = jnp.zeros((B, max_steps), jnp.int32)
+            R = (cache.k_tail.shape[1] if cache.k_tail is not None
+                 else 1)
+            n_pad = -(-max_steps // R) * R
+            buf = jnp.zeros((B, n_pad), jnp.int32)
             done = first_tok == eos_id
 
             def cond(c):
                 step, _, _, _, _, done = c
                 return (step < max_steps) & ~jnp.all(done)
 
-            def body(c):
+            def one_step(c, _):
                 step, buf, nxt, cache, key, done = c
                 key, sub = jax.random.split(key)
                 logits, cache = forward(params, nxt[:, None], cache, specs,
@@ -138,12 +156,19 @@ class InferenceEngine:
                 tok = jnp.where(done, eos_id, tok)
                 done = done | (tok == eos_id)
                 buf = buf.at[:, step].set(tok)
-                return (step + 1, buf, tok, cache, key, done)
+                return (step + 1, buf, tok, cache, key, done), None
+
+            def body(c):
+                c, _ = jax.lax.scan(one_step, c, None, length=R)
+                step, buf, nxt, cache, key, done = c
+                if cache.k_tail is not None:
+                    cache = cache.flush_tail()
+                return (step, buf, nxt, cache, key, done)
 
             step, buf, _, cache, _, done = jax.lax.while_loop(
                 cond, body, (jnp.zeros((), jnp.int32), buf, first_tok,
                              cache, key, done))
-            return buf, step, cache
+            return buf[:, :max_steps], step, cache
 
         self._decode_loops[key_] = loop
         return loop
@@ -154,6 +179,11 @@ class InferenceEngine:
         mc = self.model_cfg
         S = max_seq or self.engine_cfg.max_seq_len
         hm = self._flash_ok(S)
+        if hm:
+            # the write-combining tail re-writes a whole R-window at its
+            # aligned base each step, so the cache needs R slots of slack
+            # past the last decoded position (layers.py KVCache docstring)
+            S = -(-(S + DEFAULT_TAIL_R) // 128) * 128
         cache = KVCache.create(
             mc.num_hidden_layers, batch, S,
             mc.num_key_value_heads, mc.head_dim_,
@@ -241,6 +271,7 @@ class InferenceEngine:
                 logits, cache = self._decode(
                     self.params, next_tok[:, None], cache, kv_start_j
                 )
+                cache = self.flush_if_due(cache, step)
                 next_tok = self._sample(logits, sub, sampling)
                 host_tok = np.asarray(next_tok)
                 out_tokens.append(host_tok)
@@ -273,3 +304,14 @@ class InferenceEngine:
         if kv_start is None:
             kv_start = jnp.zeros((tokens.shape[0],), jnp.int32)
         return self._decode(self.params, tokens, cache, kv_start)
+
+    def flush_if_due(self, cache: KVCache, staged_steps: int) -> KVCache:
+        """Flush the tail window when the `staged_steps`-th decode step
+        just filled it. Stepwise drivers (generate, benchmarks) count
+        decode steps from 1 and call this after every step; tail-less
+        caches pass through untouched."""
+        if cache.k_tail is None:
+            return cache
+        if staged_steps % cache.k_tail.shape[1] == 0:
+            cache = self._flush(cache)
+        return cache

@@ -336,9 +336,9 @@ def forward(
         raise NotImplementedError(
             "tail-staged (tail_r) caches serve the uniform decode path; "
             "slot-mode (continuous batching) pools allocate tail_r=0")
-    # valid tail tokens during THIS step's attention (tail_len itself only
-    # advances with cache.advance at the end of the step)
-    tail_count = (cache.tail_count_for_step()
+    # during a tail-staged decode step, the kernel reads
+    # main[0:tail_base) + tail[0:kv_len - tail_base)
+    tail_count = (kv_len - cache.tail_base
                   if use_tail and T == 1 else None)
 
     use_fused_attn = (
@@ -388,7 +388,7 @@ def forward(
                 k5, v5, ks5, vs5, li, kt5, vt5, kts5, vts5 = full
                 out = flash_decode_attention(
                     q[:, 0], k5, v5,
-                    kv_len - tail_count if kt5 is not None else kv_len,
+                    cache.tail_base if kt5 is not None else kv_len,
                     ks5, vs5, kv_start=kv_start, layer=li,
                     k_tail=kt5, v_tail=vt5,
                     kt_scale=kts5, vt_scale=vts5,
@@ -440,9 +440,9 @@ def forward(
                 nonlocal k_all, v_all, ks_all, vs_all
                 nonlocal kt_all, vt_all, kts_all, vts_all
                 if use_tail and T_ == 1 and slot_lengths is None:
-                    # tail-staged decode write: reuse the KVCache tail
-                    # logic on a view over the carry buffers (DUS/cond
-                    # accept the traced layer index)
+                    # write-combining tail decode write: reuse the KVCache
+                    # tail logic on a view over the carry buffers (DUS
+                    # accepts the traced layer index)
                     tmp = cache._replace(
                         k=k_all, v=v_all,
                         k_scale=ks_all if quantized_kv else None,

@@ -168,31 +168,42 @@ class KVCache:
     jit specializes on it and tree_maps require both sides to agree.
 
     `tail_r=R` (head-major only) additionally allocates a token-major
-    DECODE TAIL [L, R, B, n_kv, hd]: single-token writes into the
-    head-major layout are tile-scattered (h*B 128-byte segments, measured
-    ~0.39 ms/layer at 7B shapes — PROFILE_r02.md), so decode tokens are
-    staged in the tail (contiguous plane writes) and flushed into the
-    main cache every R steps, amortizing the scatter R-fold. The flash
-    kernel attends over main+tail in one softmax. Tail slots hold the
-    same quantized values the direct write would produce, so results are
-    bit-identical to the unstaged path.
+    STAGING buffer [L, R, B, n_kv, hd] covering positions
+    [tail_base, length): EVERY write into the big head-major cache at a
+    dynamic offset lowers to a whole-array pass on this stack (measured:
+    the direct single-token write costs ~0.39 ms/layer at 7B B=256 S=32
+    and grows ~linearly with S — PROFILE_r02.md), so the decode program
+    never writes the main cache at all. Tokens stage in the tail (a
+    contiguous [B, h, hd] plane write at the window slot), the flash
+    kernel attends main[0:tail_base) + tail[0:length-tail_base) in one
+    online softmax, and the ENGINE calls `flush_tail()` — a separate
+    jitted program — exactly when the window fills, amortizing the
+    whole-array DUS cost R-fold. Tail slots hold the same quantized
+    values a direct write would produce, so flushing is a pure relayout
+    and results are bit-identical to the unstaged path.
+
+    Two designs that measured WORSE on this stack, do not resurrect:
+    a lax.cond flush inside the decode step (XLA cannot alias the 4GB
+    cache operands through a conditional — 8.7GB of per-step copy.*
+    temps, OOM at 7B B=256 S=128), and re-writing the whole window into
+    main every step (the unaligned-offset span DUS costs a whole-array
+    pass per layer per step: +0.77 ms/layer at S=128, +2.9 at S=512).
     """
 
     k: jax.Array               # [L, B, S, n_kv, hd] | [L, n_kv, B, S, hd]
     v: jax.Array
     k_scale: Optional[jax.Array]   # [L, B, S, n_kv] | [L, n_kv, B, S] (int8)
     v_scale: Optional[jax.Array]
-    length: jax.Array          # [] int32 — valid prefix length (main+tail)
+    length: jax.Array          # [] int32 — valid prefix length
     head_major: bool = _dc.field(default=False,
                                  metadata=dict(static=True))
     k_tail: Optional[jax.Array] = None   # [L, R, B, n_kv, hd]
     v_tail: Optional[jax.Array] = None
-    kt_scale: Optional[jax.Array] = None  # [L, B, R, n_kv] (int8 KV; B
-                                          # leads so the kernel's per-row
-                                          # [R, n_kv] block is full-dim —
-                                          # Mosaic block alignment rule)
+    kt_scale: Optional[jax.Array] = None  # [L, B, R, n_kv] (int8 KV)
     vt_scale: Optional[jax.Array] = None
-    tail_len: Optional[jax.Array] = None  # [] i32 — valid tail tokens
+    tail_base: Optional[jax.Array] = None  # [] i32 — tokens in MAIN (= the
+                                           # tail window's first position;
+                                           # prefill and flush advance it)
 
     def _replace(self, **kw) -> "KVCache":
         return _dc.replace(self, **kw)
@@ -226,7 +237,7 @@ class KVCache:
                           if quantized else None),
                 vt_scale=(jnp.ones(ts_shape, jnp.float32)
                           if quantized else None),
-                tail_len=jnp.zeros((), jnp.int32),
+                tail_base=jnp.zeros((), jnp.int32),
             )
         return cls(
             k=jnp.zeros(shape, dtype),
@@ -322,64 +333,33 @@ class KVCache:
             )
         return out
 
-    @staticmethod
-    def tail_flush_values(kt_c, vt_c, kts_c, vts_c, dtype):
-        """Tail layer slices [R, B, n_kv, hd] (+scales [B, R, n_kv]) ->
-        head-major write values ([n_kv, B, R, hd], scales [n_kv, B, R]).
-        Pure relayout: tail slots already hold the quantized bits."""
-        to_hm = lambda x: jnp.transpose(x, (2, 1, 0, 3)).astype(dtype)
-        sc_hm = (lambda s: jnp.transpose(s, (2, 0, 1)))
-        return (to_hm(kt_c), to_hm(vt_c),
-                sc_hm(kts_c) if kts_c is not None else None,
-                sc_hm(vts_c) if vts_c is not None else None)
-
     def _update_tail(self, layer: int, k_new, v_new) -> "KVCache":
-        """Decode-step write via the token-major tail: stage the token
-        (contiguous plane write), flushing the full tail into the
-        head-major main cache first when needed (every R steps — the
-        amortized form of the tile-scattered single-token write)."""
+        """Decode-step write: stage the token in the token-major tail at
+        its window slot (a contiguous [B, n_kv, hd] plane write — the
+        main cache is NOT touched; the engine flushes full windows via
+        `flush_tail`). The `% R` keeps the write in-bounds if a caller
+        drives forward() past a full window without flushing, but the
+        overwritten window tokens would then be lost — the engine/bench
+        decode loops flush on time."""
         R = self.k_tail.shape[1]
-        full = self.tail_len == R
+        slot = (self.length - self.tail_base) % R
 
-        def flushed(bufs):
-            k, v, ks, vs = bufs
-            kq, vq, kss, vss = self.tail_flush_values(
-                self.k_tail[layer], self.v_tail[layer],
-                self.kt_scale[layer] if self.quantized else None,
-                self.vt_scale[layer] if self.quantized else None,
-                self.k.dtype)
-            off = self.length - R          # main valid length at flush
-            k = jax.lax.dynamic_update_slice(k, kq[None], (layer, 0, 0, off, 0))
-            v = jax.lax.dynamic_update_slice(v, vq[None], (layer, 0, 0, off, 0))
-            if self.quantized:
-                ks = jax.lax.dynamic_update_slice(
-                    ks, kss[None], (layer, 0, 0, off))
-                vs = jax.lax.dynamic_update_slice(
-                    vs, vss[None], (layer, 0, 0, off))
-            return k, v, ks, vs
-
-        k, v, ks, vs = jax.lax.cond(
-            full, flushed, lambda b: b,
-            (self.k, self.v, self.k_scale, self.v_scale))
-
-        slot = jnp.where(full, 0, self.tail_len)
         if self.quantized:
-            qk, sk = Q.quantize_kv(k_new[:, 0])       # [B, n_kv, hd], [B, n_kv]
+            qk, sk = Q.quantize_kv(k_new[:, 0])   # [B, n_kv, hd], [B, n_kv]
             qv, sv = Q.quantize_kv(v_new[:, 0])
         else:
             qk, qv = k_new[:, 0], v_new[:, 0]
             sk = sv = None
+
         at = (layer, slot, 0, 0, 0)
         out = self._replace(
-            k=k, v=v, k_scale=ks, v_scale=vs,
             k_tail=jax.lax.dynamic_update_slice(
                 self.k_tail, qk[None, None].astype(self.k_tail.dtype), at),
             v_tail=jax.lax.dynamic_update_slice(
                 self.v_tail, qv[None, None].astype(self.v_tail.dtype), at),
         )
         if self.quantized:
-            # scales are [L, B, R, n_kv]; write the step's [B, n_kv] plane
-            s_at = (layer, 0, slot, 0)
+            s_at = (layer, 0, slot, 0)          # scales are [L, B, R, n_kv]
             out = out._replace(
                 kt_scale=jax.lax.dynamic_update_slice(
                     self.kt_scale, sk[None, :, None], s_at),
@@ -388,11 +368,36 @@ class KVCache:
             )
         return out
 
-    def tail_count_for_step(self):
-        """Valid tail tokens DURING the current decode step's attention
-        (i.e. after this step's write): 1 right after a flush, else +1."""
+    def flush_tail(self) -> "KVCache":
+        """Write the staged tail window into the head-major main cache
+        and advance tail_base. Meant to be jitted as its OWN program and
+        called by the engine exactly when the window is full
+        (length - tail_base == R): the dynamic-offset DUS into the big
+        cache costs a whole-array pass on this stack (class docstring),
+        so it must run once per R steps, never per step. Safe on a
+        partially-filled window only if decode then CONTINUES from the
+        same cache without reusing the flushed-but-stale slots — the
+        engine only flushes full windows."""
         R = self.k_tail.shape[1]
-        return jnp.where(self.tail_len == R, 1, self.tail_len + 1)
+        base = self.tail_base
+        # tail [R, B, n_kv, hd] -> head-major [n_kv, B, R, hd], all layers
+        kq = jnp.transpose(self.k_tail, (0, 3, 2, 1, 4))
+        vq = jnp.transpose(self.v_tail, (0, 3, 2, 1, 4))
+        out = self._replace(
+            k=jax.lax.dynamic_update_slice(self.k, kq, (0, 0, 0, base, 0)),
+            v=jax.lax.dynamic_update_slice(self.v, vq, (0, 0, 0, base, 0)),
+            tail_base=jnp.minimum(base + R, self.length),
+        )
+        if self.quantized:
+            ks = jnp.transpose(self.kt_scale, (0, 3, 1, 2))  # [L, h, B, R]
+            vs = jnp.transpose(self.vt_scale, (0, 3, 1, 2))
+            out = out._replace(
+                k_scale=jax.lax.dynamic_update_slice(
+                    self.k_scale, ks, (0, 0, 0, base)),
+                v_scale=jax.lax.dynamic_update_slice(
+                    self.v_scale, vs, (0, 0, 0, base)),
+            )
+        return out
 
     def update_layer_slots(
         self, layer: int, k_new: jax.Array, v_new: jax.Array,
@@ -436,12 +441,10 @@ class KVCache:
 
     def advance(self, t: int) -> "KVCache":
         out = self._replace(length=self.length + t)
-        if self.tail_len is not None and t == 1:
-            # a decode step consumed one tail slot (post-flush slot 0 when
-            # the tail was full); prefill chunks (t>1) write main directly
-            R = self.k_tail.shape[1]
-            out = out._replace(
-                tail_len=jnp.where(self.tail_len == R, 1, self.tail_len + 1))
+        if self.tail_base is not None and t != 1:
+            # prefill chunks (t>1) write main directly; the next decode
+            # window starts fresh at the new length
+            out = out._replace(tail_base=self.length + t)
         return out
 
 

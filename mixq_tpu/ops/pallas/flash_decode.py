@@ -60,12 +60,14 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 _VMEM_BUDGET = 8 * 1024 * 1024      # double-buffered K+V blocks
 
-# Tail-buffer depth (KVCache.create(tail_r=...)): single-token head-major
-# cache writes are tile-scattered (h*B 128-byte segments, measured ~0.39
-# ms/layer at 7B B=256 — PROFILE_r02.md "In-model integration"), so decode
-# tokens are staged in a token-major [L, R, B, h, d] tail (contiguous
-# plane writes) and flushed into the head-major main cache every R steps,
-# amortizing the scatter R-fold. R=8 costs +R int8 KV slots/row of HBM.
+# Write-combining window (KVCache.create(tail_r=...)): single-token
+# head-major cache writes are tile-scattered (h*B 128-byte segments,
+# measured ~0.39 ms/layer at 7B B=256 — PROFILE_r02.md "In-model
+# integration"), so decode tokens stage in a token-major [L, R, B, h, d]
+# buffer and the whole transposed window is re-written into the main
+# cache each step at its R-aligned base (layers.py KVCache docstring).
+# R=8 costs +R int8 KV slots/row of HBM and makes each span store
+# sublane-aligned.
 DEFAULT_TAIL_R = 8
 
 
@@ -107,8 +109,10 @@ def _kernel(
     v_hbm_ref,
     vs_hbm_ref,
     kt_ref,               # [R, n_kv, D] tail block (auto-pipelined
-                          # BlockSpec, all dims whole — the tail is small,
-                          # token-major [L, R, B, h, D]; the kernel slices
+                          # BlockSpec with every dim taken WHOLE — Mosaic
+                          # requires each of the block's last-two dims to
+                          # be 8/128-divisible OR equal to the full array
+                          # dim, and the tail is tiny; the kernel slices
                           # its h_blk head range when the grid splits) or
                           # None
     kts_ref,              # [R, n_kv] f32 tail scales (stored [L,B,R,h]) or
@@ -237,10 +241,10 @@ def _kernel(
     qk = qk + bias[None]
 
     if has_tail:
-        # Tail scores: recent unflushed tokens live in a token-major tail
-        # buffer ([R, h_blk, D] block). The tail is tiny (R<=32), so it is
-        # widened + scale-folded on the VPU (negligible vs the [S, D]
-        # cache) and joined into the SAME softmax as the main scores.
+        # Tail scores: the last <=R unflushed tokens live in the
+        # token-major tail. The tail is tiny, so it is widened +
+        # scale-folded on the VPU (negligible vs the [S, D] cache) and
+        # joined into the SAME online softmax as the main scores.
         R = kt_ref.shape[0]
         ktw = kt_ref[...]                                    # [R, n_kv, D]
         vtw = vt_ref[...]
@@ -318,7 +322,7 @@ def flash_decode_attention(
     v_scale: Optional[jax.Array] = None,
     kv_start=None,                  # scalar or [B] first valid slot
     k_tail: Optional[jax.Array] = None,    # [(L,) R, B, n_kv, D] token-major
-                                    # tail buffer (KVCache tail staging)
+                                    # staging buffer (KVCache tail)
     v_tail: Optional[jax.Array] = None,
     kt_scale: Optional[jax.Array] = None,  # [(L,) B, R, n_kv] f32
     vt_scale: Optional[jax.Array] = None,
@@ -406,15 +410,11 @@ def flash_decode_attention(
 
     if has_tail:
         R = k_tail.shape[1]
-        # auto-pipelined blocks (not manual DMA). Mosaic requires each of
-        # the block's LAST TWO dims to be 8/128-divisible OR equal to the
-        # full array dim — so every tail block takes its dims WHOLE (the
-        # tail is tiny; R*n_kv*D int8 is KBs): values [L, R, B, n_kv, D]
-        # -> [R, n_kv, D] per (layer, b); scales are stored [L, B, R,
-        # n_kv] so their block [R, n_kv] is also full-dim. The kernel
-        # slices the h_blk head range itself when the head grid splits.
-        # The layer index comes from the prefetched scalar (index maps
-        # receive the scalar refs after the grid ids).
+        # auto-pipelined blocks (not manual DMA), every dim taken WHOLE
+        # (Mosaic block alignment rule — see kernel param comments);
+        # values are [L, R, B, n_kv, D], scales [L, B, R, n_kv]; the
+        # layer index comes from the prefetched scalar (index maps
+        # receive the scalar refs after the grid ids)
         kt_spec = pl.BlockSpec(
             (None, R, None, n_kv, D),
             lambda j, b, layer, *_: (layer[0], 0, b, 0, 0))

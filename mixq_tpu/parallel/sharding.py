@@ -138,7 +138,7 @@ def kv_cache_pspecs(shard_heads: bool = True, quantized: bool = False,
         # tail scales are [L, B, R, n_kv] (layers.py KVCache)
         t_sc = P(None, DATA_AXIS, None, head_axis) if quantized else None
         tail_kw = dict(k_tail=t_kv, v_tail=t_kv, kt_scale=t_sc,
-                       vt_scale=t_sc, tail_len=P())
+                       vt_scale=t_sc, tail_base=P())
     return KVCache(k=kv, v=kv, k_scale=sc, v_scale=sc, length=P(),
                    head_major=head_major, **tail_kw)
 

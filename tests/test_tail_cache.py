@@ -27,10 +27,10 @@ from tests.test_flash_decode import run_steps
 class TestTailCacheUnit:
     @pytest.mark.parametrize("kv_dtype", [jnp.bfloat16, jnp.int8])
     def test_staged_writes_match_direct(self, kv_dtype):
-        """Prefill + 2R+3 single-token writes through the tail ==
-        the same writes direct into a head-major cache (bit-identical:
-        tail slots hold the quantized values the direct write would
-        produce, and the flush is a pure relayout)."""
+        """Prefill (not R-aligned) + 2R+3 single-token writes staged in
+        the tail with full-window flushes: after every flush the main
+        cache's flushed prefix is bit-identical to direct head-major
+        writes, and the still-staged suffix lives in the tail slots."""
         L, B, S, H, D, R, P = 2, 3, 32, 2, 8, 4, 5
         mk = lambda r: KVCache.create(L, B, S, H, D, kv_dtype,
                                       head_major=True, tail_r=r)
@@ -41,34 +41,35 @@ class TestTailCacheUnit:
             tail = tail.update_layer(i, kp, 2 * kp)
             ref = ref.update_layer(i, kp, 2 * kp)
         tail, ref = tail.advance(P), ref.advance(P)
-        for t in range(2 * R + 3):
+        assert int(tail.tail_base) == P
+        for t in range(1, 2 * R + 4):
             kt = jax.random.normal(jax.random.PRNGKey(10 + t), (B, 1, H, D))
             for i in range(L):
                 tail = tail.update_layer(i, kt, -kt)
                 ref = ref.update_layer(i, kt, -kt)
             tail, ref = tail.advance(1), ref.advance(1)
-        n = int(ref.length)
-        assert n == P + 2 * R + 3
-        # logical contents: main[:, :, :main_len] ++ tail[:tail_len]
-        tl = int(tail.tail_len)
-        assert tl == (2 * R + 3) % R or tl == R
-        main_len = n - tl
-        np.testing.assert_array_equal(
-            np.asarray(tail.k[:, :, :, :main_len]),
-            np.asarray(ref.k[:, :, :, :main_len]))
-        # tail tokens: transpose to head-major and compare to ref suffix
-        t_hm = jnp.transpose(tail.k_tail[:, :tl], (0, 3, 2, 1, 4))
-        np.testing.assert_array_equal(
-            np.asarray(t_hm.astype(ref.k.dtype)),
-            np.asarray(ref.k[:, :, :, main_len:n]))
-        if kv_dtype == jnp.int8:
+            # the staged suffix is in the tail at its window slots
+            slot = (t - 1) % R
+            t_hm = jnp.moveaxis(tail.k_tail[:, slot], 2, 1)   # [L,H,B,D]
             np.testing.assert_array_equal(
-                np.asarray(tail.k_scale[:, :, :, :main_len]),
-                np.asarray(ref.k_scale[:, :, :, :main_len]))
-            # tail scales are [L, B, R, n_kv] -> head-major [L, n_kv, B, R]
-            ts_hm = jnp.transpose(tail.kt_scale[:, :, :tl], (0, 3, 1, 2))
+                np.asarray(t_hm.astype(ref.k.dtype)),
+                np.asarray(ref.k[:, :, :, int(ref.length) - 1]))
+            if t % R == 0:
+                tail = tail.flush_tail()
+            base = int(tail.tail_base)
+            assert base == P + (t // R) * R
+            # flushed prefix bit-identical to direct writes
             np.testing.assert_array_equal(
-                np.asarray(ts_hm), np.asarray(ref.k_scale[:, :, :, main_len:n]))
+                np.asarray(tail.k[:, :, :, :base]),
+                np.asarray(ref.k[:, :, :, :base]))
+            np.testing.assert_array_equal(
+                np.asarray(tail.v[:, :, :, :base]),
+                np.asarray(ref.v[:, :, :, :base]))
+            if kv_dtype == jnp.int8:
+                np.testing.assert_array_equal(
+                    np.asarray(tail.k_scale[:, :, :, :base]),
+                    np.asarray(ref.k_scale[:, :, :, :base]))
+        assert int(ref.length) == P + 2 * R + 3
 
     def test_tail_requires_head_major(self):
         with pytest.raises(ValueError):
@@ -81,6 +82,25 @@ def _tiny():
     specs = dataclasses.replace(specs, attn_impl="flash")
     params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
     return cfg, specs, params
+
+
+def run_steps_flushing(params, cfg, specs, cache, tokens, n_steps):
+    """run_steps with the engine's flush contract: flush_tail after every
+    full R-window of decode steps (tail caches only)."""
+    jfwd = jax.jit(forward, static_argnames=("specs", "cfg"))
+    jflush = jax.jit(lambda c: c.flush_tail())
+    logits, cache = jfwd(params, tokens, cache, specs=specs, cfg=cfg)
+    outs = [logits[:, -1]]
+    B, _ = tokens.shape
+    R = cache.k_tail.shape[1] if cache.k_tail is not None else 0
+    for i in range(n_steps):
+        nxt = jnp.full((B,), 7 + 3 * i, jnp.int32)
+        logits, cache = jfwd(params, nxt[:, None], cache, specs=specs,
+                             cfg=cfg)
+        if R and (i + 1) % R == 0:
+            cache = jflush(cache)
+        outs.append(logits[:, -1])
+    return np.asarray(jnp.stack(outs), np.float32)
 
 
 class TestForwardTail:
@@ -96,7 +116,7 @@ class TestForwardTail:
             cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
             cfg.head_dim_, jnp.dtype(kv_dtype), head_major=hm_, tail_r=r)
         n = 2 * R + 2                      # crosses the flush twice
-        got = run_steps(params, cfg, specs, mk(True, R), tokens, n)
+        got = run_steps_flushing(params, cfg, specs, mk(True, R), tokens, n)
         ref = run_steps(params, cfg, specs, mk(True, 0), tokens, n)
         xla = run_steps(params, cfg,
                         dataclasses.replace(specs, attn_impl="xla"),
@@ -114,9 +134,9 @@ class TestForwardTail:
             cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
             cfg.head_dim_, jnp.int8, head_major=True, tail_r=R)
         n = R + 3
-        ref = run_steps(params, cfg, specs, mk(), tokens, n)
-        got = run_steps(stack_decoder_params(params), cfg, specs, mk(),
-                        tokens, n)
+        ref = run_steps_flushing(params, cfg, specs, mk(), tokens, n)
+        got = run_steps_flushing(stack_decoder_params(params), cfg, specs,
+                                 mk(), tokens, n)
         np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
 
     def test_tail_rejects_slot_mode(self):
@@ -145,21 +165,60 @@ class TestTailSharding:
 
 
 class TestEngineTail:
-    def test_engine_decodes_past_flush(self):
-        """Engine flash path (tail_r=DEFAULT_TAIL_R) generates past the
-        flush boundary and matches the XLA engine token-for-token."""
+    """Tail-staged engine plumbing. Token-exact generate equality vs the
+    no-tail engine is deliberately NOT asserted: tail tokens take the
+    kernel's bf16 path while flushed tokens take the int8-MXU path, so
+    logits differ at the ~1e-3 level and greedy feedback can flip
+    near-tie argmaxes (run_steps docstring). Logits proximity is
+    asserted on fixed-token sequences instead."""
+
+    def test_stepwise_flush_cadence_matches_no_tail(self):
+        """Fixed-token decode through the engine's stepwise API with
+        flush_if_due every step: logits track the tail-less engine
+        across two window boundaries."""
         from mixq_tpu.config import EngineConfig
         from mixq_tpu.engine import InferenceEngine
         from mixq_tpu.ops.pallas.flash_decode import DEFAULT_TAIL_R
 
         cfg, specs, params = _tiny()
         ecfg = EngineConfig(max_seq_len=64, prefill_chunk=8, kv_dtype="int8")
-        eng_f = InferenceEngine(params, cfg, specs, ecfg)
-        eng_x = InferenceEngine(
-            params, cfg, dataclasses.replace(specs, attn_impl="xla"), ecfg)
-        assert eng_f.new_cache(2).k_tail is not None
-        prompts = [[1, 5, 9, 4], [2, 2, 7]]
-        n_new = DEFAULT_TAIL_R + 4
-        ref = eng_x.generate(prompts, max_new_tokens=n_new)
-        got = eng_f.generate(prompts, max_new_tokens=n_new)
-        assert got == ref
+        eng = InferenceEngine(params, cfg, specs, ecfg)
+        B = 2
+        ct = eng.new_cache(B)
+        cn = eng.new_cache(B)._replace(
+            k_tail=None, v_tail=None, kt_scale=None, vt_scale=None,
+            tail_base=None)
+        assert ct.k_tail is not None
+        toks = jnp.ones((B, 8), jnp.int32)
+        lt, ct = eng.prefill(toks, ct)
+        ln, cn = eng.prefill(toks, cn)
+        for i in range(1, 2 * DEFAULT_TAIL_R + 4):
+            nxt = jnp.full((B, 1), 3 + 5 * i, jnp.int32)
+            lt, ct = eng.decode_step(nxt, ct)
+            ln, cn = eng.decode_step(nxt, cn)
+            ct = eng.flush_if_due(ct, i)
+            np.testing.assert_allclose(np.float32(lt), np.float32(ln),
+                                       rtol=3e-2, atol=3e-2)
+        assert int(ct.tail_base) > 8      # windows actually flushed
+
+    def test_device_loop_generates_past_window_boundary(self):
+        """The window-chunked device decode loop runs a tail cache past
+        two window boundaries and matches the stepwise path's output
+        shape/EOS handling."""
+        from mixq_tpu.config import EngineConfig
+        from mixq_tpu.engine import InferenceEngine
+        from mixq_tpu.ops.pallas.flash_decode import DEFAULT_TAIL_R
+
+        cfg, specs, params = _tiny()
+        n_new = 2 * DEFAULT_TAIL_R + 4
+        outs = []
+        for dev in (False, True):
+            ecfg = EngineConfig(max_seq_len=64, prefill_chunk=8,
+                                kv_dtype="int8", device_decode_loop=dev)
+            eng = InferenceEngine(params, cfg, specs, ecfg)
+            outs.append(eng.generate([[1, 5, 9, 4], [2, 2, 7]],
+                                     max_new_tokens=n_new))
+        assert [len(r) for r in outs[0]] == [n_new, n_new]
+        # identical sampling path + same numerics within each engine:
+        # stepwise and device-loop paths must agree exactly
+        assert outs[0] == outs[1]
