@@ -54,11 +54,17 @@ def main():
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         _ = jax.device_get(nxt)
 
-        # timing: chained steps, delta of two chain lengths (relay-safe)
+        # timing: chained steps, delta of two chain lengths (relay-safe);
+        # tail-staged caches flush once per window (engine contract)
+        steps = 0
+
         def chain(n, nxt, cache):
+            nonlocal steps
             t0 = time.time()
             for _ in range(n):
                 logits, cache = engine.decode_step(nxt[:, None], cache)
+                steps += 1
+                cache = engine.flush_if_due(cache, steps)
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             _ = jax.device_get(nxt)
             return time.time() - t0, nxt, cache
