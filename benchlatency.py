@@ -80,13 +80,32 @@ def main():
         logits, cache = forward(params, tokens, cache, specs, cfg)
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
-    def new_cache():
-        from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
+    from mixq_tpu.ops.pallas.flash_decode import (DEFAULT_TAIL_R,
+                                                  use_head_major_cache)
 
+    hm = use_head_major_cache(attn_impl, cfg, S, kv_dtype.itemsize)
+    tail_r = (int(os.environ.get("BENCH_TAIL", str(DEFAULT_TAIL_R)))
+              if hm else 0)
+
+    def new_cache():
         return KVCache.create(cfg.num_hidden_layers, B, S,
                               cfg.num_key_value_heads, cfg.head_dim_, kv_dtype,
-                              head_major=use_head_major_cache(
-                                  attn_impl, cfg, S, kv_dtype.itemsize))
+                              head_major=hm, tail_r=tail_r)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def flush(cache):
+        return cache.flush_tail()
+
+    dstep = [0]
+
+    def decode_once(nxt, cache):
+        # the per-step latency INCLUDES the amortized window flush: the
+        # flush step's sample is the honest p99 contributor
+        nxt, cache = step(params, nxt[:, None], cache)
+        dstep[0] += 1
+        if tail_r and dstep[0] % tail_r == 0:
+            cache = flush(cache)
+        return nxt, cache
 
     prompt = jnp.ones((B, P), jnp.int32)
     one = jnp.ones((B, 1), jnp.int32)
@@ -118,11 +137,11 @@ def main():
         ttft.append(max(time.time() - t0 - c, 0.0) * 1000)
 
     # --- per-step decode latency ------------------------------------------
-    nxt, cache = step(params, one, cache)   # warm
+    nxt, cache = decode_once(one[:, 0], cache)   # warm (compiles flush too)
     samples = []
     for _ in range(steps):
         t0 = time.time()
-        nxt, cache = step(params, nxt[:, None], cache)
+        nxt, cache = decode_once(nxt, cache)
         jax.device_get(nxt)
         samples.append(max(time.time() - t0 - c, 0.0) * 1000)
 
@@ -130,7 +149,7 @@ def main():
     def chain(n, nxt, cache):
         t0 = time.time()
         for _ in range(n):
-            nxt, cache = step(params, nxt[:, None], cache)
+            nxt, cache = decode_once(nxt, cache)
         jax.device_get(nxt)
         return time.time() - t0, nxt, cache
 

@@ -88,13 +88,25 @@ def main():
     rows = []
     for C in [int(c) for c in args.contexts.split(",")]:
         S = C + 4 * args.steps + 8          # decode headroom past the context
-        from mixq_tpu.ops.pallas.flash_decode import flash_decode_supported
+        from mixq_tpu.ops.pallas.flash_decode import (DEFAULT_TAIL_R,
+                                                      flash_decode_supported)
 
         hm_ = (args.attn == "flash" and flash_decode_supported(
             cfg.num_key_value_heads, S, cfg.head_dim_, kv.itemsize))
+        tail_r = DEFAULT_TAIL_R if hm_ else 0
         mk_cache = lambda: KVCache.create(   # noqa: E731
             cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
-            cfg.head_dim_, kv, head_major=hm_)
+            cfg.head_dim_, kv, head_major=hm_, tail_r=tail_r)
+
+        flush = jax.jit(lambda c: c.flush_tail(), donate_argnums=(0,))
+        n_dec = [0]
+
+        def decode_once(nxt, cache):
+            nxt, cache = step(params, nxt[:, None], cache)
+            n_dec[0] += 1
+            if tail_r and n_dec[0] % tail_r == 0:
+                cache = flush(cache)       # amortized window write
+            return nxt, cache
 
         # ---- prefill: chains of dependent prefills (the argmax of one
         # seeds the next prompt) at two lengths, differenced
@@ -119,13 +131,13 @@ def main():
         # ---- decode with C tokens of KV resident
         cache = mk_cache()
         nxt, cache = step(params, base, cache)
-        nxt, cache = step(params, nxt[:, None], cache)  # warm decode sig
+        nxt, cache = decode_once(nxt, cache)            # warm decode sig
         _ = jax.device_get(nxt)
 
         def decode_chain(n, nxt, cache):
             t0 = time.time()
             for _ in range(n):
-                nxt, cache = step(params, nxt[:, None], cache)
+                nxt, cache = decode_once(nxt, cache)
             _ = jax.device_get(nxt)
             return time.time() - t0, nxt, cache
 
