@@ -72,7 +72,7 @@ class ContinuousBatchingEngine:
             return logits[:, -1, :], cache
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def _insert(big: KVCache, small: KVCache, slot) -> KVCache:
+        def _insert(big: KVCache, small: KVCache, slot, new_len) -> KVCache:
             # copy the [L, 1, Tp, ...] prefill KV into the slot row (row
             # axis is 1, or 2 for head-major flash caches)
             def put(dst, src):
@@ -84,19 +84,36 @@ class ContinuousBatchingEngine:
                 big = big._replace(
                     k_scale=put(big.k_scale, small.k_scale),
                     v_scale=put(big.v_scale, small.v_scale))
+            if big.k_tail is not None:
+                # the reused row's tail window restarts at its new length
+                # (stale tail slots land at masked positions until then)
+                big = big._replace(
+                    tail_base=big.tail_base.at[slot].set(new_len))
             return big
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _flush(cache: KVCache, row_lengths) -> KVCache:
+            return cache.flush_tail(row_lengths)
 
         self._decode = _decode
         self._prefill = _prefill
         self._insert = _insert
+        self._flush = _flush
+        self._steps_since_flush = 0
+
+        hm = use_head_major_cache(
+            specs_.attn_impl, mc, self.max_seq,
+            jnp.dtype(self.ecfg.kv_dtype).itemsize)
+        from mixq_tpu.ops.pallas.flash_decode import DEFAULT_TAIL_R
 
         self.cache = KVCache.create(
             mc.num_hidden_layers, self.n_slots, self.max_seq,
             mc.num_key_value_heads, mc.head_dim_,
             jnp.dtype(self.ecfg.kv_dtype),
-            head_major=use_head_major_cache(
-                specs_.attn_impl, mc, self.max_seq,
-                jnp.dtype(self.ecfg.kv_dtype).itemsize))
+            head_major=hm,
+            # per-row staged windows: decode never scatters into the big
+            # cache; step() flushes every R steps (layers.py KVCache)
+            tail_r=DEFAULT_TAIL_R if hm else 0, per_row_tail=True)
         if mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
 
@@ -156,6 +173,12 @@ class ContinuousBatchingEngine:
 
         # only active slots advance / record
         self.lengths[active_np] += 1
+        if self.cache.k_tail is not None:
+            self._steps_since_flush += 1
+            if self._steps_since_flush >= self.cache.k_tail.shape[1]:
+                self.cache = self._flush(self.cache,
+                                         jnp.asarray(self.lengths))
+                self._steps_since_flush = 0
         self.cur_tokens[active_np] = nxt[active_np]
         for slot in active:
             rid = self._slot_req[slot]
@@ -216,7 +239,13 @@ class ContinuousBatchingEngine:
                 head_major=self.cache.head_major)
             _, small = self._prefill(self.params, jnp.asarray(toks), small)
             self.cache = self._insert(self.cache, small,
-                                      jnp.asarray(slot, jnp.int32))
+                                      jnp.asarray(slot, jnp.int32),
+                                      jnp.asarray(n - 1, jnp.int32))
+        elif self.cache.k_tail is not None:
+            # single-token prompt: nothing to insert, but the reused
+            # row's tail window must still restart at length 0
+            self.cache = self.cache._replace(
+                tail_base=self.cache.tail_base.at[slot].set(0))
         self.lengths[slot] = n - 1
         self.cur_tokens[slot] = prompt[-1]
         self._slot_req[slot] = rid

@@ -332,12 +332,12 @@ def forward(
             "head-major (flash) KV cache does not support sliding-window or "
             "ALiBi models yet — create the cache with head_major=False")
     use_tail = cache.k_tail is not None
-    if use_tail and slot_lengths is not None:
-        raise NotImplementedError(
-            "tail-staged (tail_r) caches serve the uniform decode path; "
-            "slot-mode (continuous batching) pools allocate tail_r=0")
+    if use_tail and slot_lengths is not None and cache.tail_base.ndim != 1:
+        raise ValueError(
+            "slot-mode decode on a tail-staged cache needs per-row windows: "
+            "create the pool cache with per_row_tail=True")
     # during a tail-staged decode step, the kernel reads
-    # main[0:tail_base) + tail[0:kv_len - tail_base)
+    # main[0:tail_base) + tail[0:kv_len - tail_base)  (per-row in slot mode)
     tail_count = (kv_len - cache.tail_base
                   if use_tail and T == 1 else None)
 
@@ -439,18 +439,22 @@ def forward(
             def kv_apply(q, k, v):
                 nonlocal k_all, v_all, ks_all, vs_all
                 nonlocal kt_all, vt_all, kts_all, vts_all
-                if use_tail and T_ == 1 and slot_lengths is None:
+                if use_tail and T_ == 1:
                     # write-combining tail decode write: reuse the KVCache
                     # tail logic on a view over the carry buffers (DUS
-                    # accepts the traced layer index)
-                    tmp = cache._replace(
+                    # accepts the traced layer index); slot-mode pools
+                    # stage at per-row window slots
+                    view = cache._replace(
                         k=k_all, v=v_all,
                         k_scale=ks_all if quantized_kv else None,
                         v_scale=vs_all if quantized_kv else None,
                         k_tail=kt_all, v_tail=vt_all,
                         kt_scale=kts_all if quantized_kv else None,
                         vt_scale=vts_all if quantized_kv else None,
-                    )._update_tail(i, k, v)
+                    )
+                    tmp = (view._update_tail_slots(i, k, v, slot_lengths)
+                           if slot_lengths is not None
+                           else view._update_tail(i, k, v))
                     k_all, v_all = tmp.k, tmp.v
                     kt_all, vt_all = tmp.k_tail, tmp.v_tail
                     if quantized_kv:

@@ -203,7 +203,10 @@ class KVCache:
     vt_scale: Optional[jax.Array] = None
     tail_base: Optional[jax.Array] = None  # [] i32 — tokens in MAIN (= the
                                            # tail window's first position;
-                                           # prefill and flush advance it)
+                                           # prefill and flush advance it).
+                                           # [B] i32 for slot-mode pools
+                                           # (per-row windows; continuous
+                                           # batching inserts reset rows)
 
     def _replace(self, **kw) -> "KVCache":
         return _dc.replace(self, **kw)
@@ -211,7 +214,7 @@ class KVCache:
     @classmethod
     def create(cls, n_layers, batch, max_seq, n_kv, head_dim,
                dtype=jnp.bfloat16, head_major: bool = False,
-               tail_r: int = 0):
+               tail_r: int = 0, per_row_tail: bool = False):
         dtype = jnp.dtype(dtype)
         if head_major:
             shape = (n_layers, n_kv, batch, max_seq, head_dim)
@@ -237,7 +240,8 @@ class KVCache:
                           if quantized else None),
                 vt_scale=(jnp.ones(ts_shape, jnp.float32)
                           if quantized else None),
-                tail_base=jnp.zeros((), jnp.int32),
+                tail_base=jnp.zeros((batch,) if per_row_tail else (),
+                                    jnp.int32),
             )
         return cls(
             k=jnp.zeros(shape, dtype),
@@ -368,35 +372,88 @@ class KVCache:
             )
         return out
 
-    def flush_tail(self) -> "KVCache":
+    def _update_tail_slots(self, layer: int, k_new, v_new,
+                           slot_lengths) -> "KVCache":
+        """Slot-mode (continuous batching) decode write into the tail:
+        each row stages its token at its own window slot
+        (slot_lengths[b] - tail_base[b]) % R — a small scatter into the
+        tail buffer instead of the whole-array-pass scatter into main."""
+        R = self.k_tail.shape[1]
+        B = k_new.shape[0]
+        rows = jnp.arange(B)
+        slots = (slot_lengths - self.tail_base) % R
+
+        if self.quantized:
+            qk, sk = Q.quantize_kv(k_new[:, 0])   # [B, n_kv, hd], [B, n_kv]
+            qv, sv = Q.quantize_kv(v_new[:, 0])
+        else:
+            qk, qv = k_new[:, 0], v_new[:, 0]
+            sk = sv = None
+
+        # tail [L, R, B, h, d]: adjacent advanced indices (slots, rows)
+        # keep their place -> value shape [B, h, d]
+        t_at = lambda buf, val: buf.at[layer, slots, rows].set(
+            val.astype(buf.dtype))
+        out = self._replace(k_tail=t_at(self.k_tail, qk),
+                            v_tail=t_at(self.v_tail, qv))
+        if self.quantized:
+            # scales [L, B, R, h]
+            s_at = lambda buf, val: buf.at[layer, rows, slots].set(val)
+            out = out._replace(kt_scale=s_at(self.kt_scale, sk),
+                               vt_scale=s_at(self.vt_scale, sv))
+        return out
+
+    def flush_tail(self, row_lengths: Optional[jax.Array] = None
+                   ) -> "KVCache":
         """Write the staged tail window into the head-major main cache
         and advance tail_base. Meant to be jitted as its OWN program and
-        called by the engine exactly when the window is full
-        (length - tail_base == R): the dynamic-offset DUS into the big
-        cache costs a whole-array pass on this stack (class docstring),
-        so it must run once per R steps, never per step. Safe on a
-        partially-filled window only if decode then CONTINUES from the
-        same cache without reusing the flushed-but-stale slots — the
-        engine only flushes full windows."""
+        called by the engine once per R decode steps: the dynamic-offset
+        write into the big cache costs a whole-array pass on this stack
+        (class docstring), so it must never run per step. Partial
+        windows flush safely (stale slots land at positions >= the row's
+        length, which attention masks), resetting the window.
+
+        Uniform caches (scalar tail_base) use the cache's own `length`;
+        slot-mode pools (tail_base [B]) pass per-row `row_lengths`."""
         R = self.k_tail.shape[1]
         base = self.tail_base
-        # tail [R, B, n_kv, hd] -> head-major [n_kv, B, R, hd], all layers
+        # tail [L, R, B, n_kv, hd] -> head-major [L, n_kv, B, R, hd]
         kq = jnp.transpose(self.k_tail, (0, 3, 2, 1, 4))
         vq = jnp.transpose(self.v_tail, (0, 3, 2, 1, 4))
+        if base.ndim == 0:
+            out = self._replace(
+                k=jax.lax.dynamic_update_slice(self.k, kq, (0, 0, 0, base, 0)),
+                v=jax.lax.dynamic_update_slice(self.v, vq, (0, 0, 0, base, 0)),
+                tail_base=jnp.minimum(base + R, self.length),
+            )
+            if self.quantized:
+                ks = jnp.transpose(self.kt_scale, (0, 3, 1, 2))  # [L,h,B,R]
+                vs = jnp.transpose(self.vt_scale, (0, 3, 1, 2))
+                out = out._replace(
+                    k_scale=jax.lax.dynamic_update_slice(
+                        self.k_scale, ks, (0, 0, 0, base)),
+                    v_scale=jax.lax.dynamic_update_slice(
+                        self.v_scale, vs, (0, 0, 0, base)),
+                )
+            return out
+        # per-row windows: scatter each row's R-span at its own base;
+        # out-of-range positions (rows near max_seq) are dropped
+        B = base.shape[0]
+        rows = jnp.arange(B)[:, None]                  # [B, 1]
+        pos = base[:, None] + jnp.arange(R)[None]      # [B, R]
+        kv_at = lambda buf, val: buf.at[:, :, rows, pos].set(
+            val.astype(buf.dtype), mode="drop")
         out = self._replace(
-            k=jax.lax.dynamic_update_slice(self.k, kq, (0, 0, 0, base, 0)),
-            v=jax.lax.dynamic_update_slice(self.v, vq, (0, 0, 0, base, 0)),
-            tail_base=jnp.minimum(base + R, self.length),
+            k=kv_at(self.k, kq), v=kv_at(self.v, vq),
+            tail_base=jnp.minimum(
+                base + R,
+                row_lengths if row_lengths is not None else base + R),
         )
         if self.quantized:
-            ks = jnp.transpose(self.kt_scale, (0, 3, 1, 2))  # [L, h, B, R]
+            ks = jnp.transpose(self.kt_scale, (0, 3, 1, 2))
             vs = jnp.transpose(self.vt_scale, (0, 3, 1, 2))
-            out = out._replace(
-                k_scale=jax.lax.dynamic_update_slice(
-                    self.k_scale, ks, (0, 0, 0, base)),
-                v_scale=jax.lax.dynamic_update_slice(
-                    self.v_scale, vs, (0, 0, 0, base)),
-            )
+            out = out._replace(k_scale=kv_at(self.k_scale, ks),
+                               v_scale=kv_at(self.v_scale, vs))
         return out
 
     def update_layer_slots(
@@ -404,7 +461,12 @@ class KVCache:
         slot_lengths: jax.Array, ring: bool = False,
     ) -> "KVCache":
         """Decode-step write at per-row positions (continuous batching):
-        k_new [B, 1, n_kv, hd] scattered to [layer, b, slot_lengths[b]]."""
+        k_new [B, 1, n_kv, hd] scattered to [layer, b, slot_lengths[b]].
+        Tail-staged pools stage in the window buffer instead (the big
+        per-row scatter is the whole-array-pass cost flush_tail
+        amortizes)."""
+        if self.k_tail is not None and k_new.shape[1] == 1 and not ring:
+            return self._update_tail_slots(layer, k_new, v_new, slot_lengths)
         B = k_new.shape[0]
         rows = jnp.arange(B)
         if ring:
@@ -443,8 +505,11 @@ class KVCache:
         out = self._replace(length=self.length + t)
         if self.tail_base is not None and t != 1:
             # prefill chunks (t>1) write main directly; the next decode
-            # window starts fresh at the new length
-            out = out._replace(tail_base=self.length + t)
+            # window starts fresh at the new length (broadcast keeps
+            # per-row [B] windows per-row)
+            out = out._replace(tail_base=jnp.broadcast_to(
+                jnp.asarray(self.length + t, jnp.int32),
+                self.tail_base.shape))
         return out
 
 

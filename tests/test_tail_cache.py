@@ -139,14 +139,171 @@ class TestForwardTail:
                                  mk(), tokens, n)
         np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
 
-    def test_tail_rejects_slot_mode(self):
+    def test_slot_mode_requires_per_row_windows(self):
+        """Slot-mode decode on a tail cache with a SCALAR tail_base (a
+        uniform-engine cache) must be rejected — pools allocate
+        per_row_tail=True."""
         cfg, specs, params = _tiny()
         cache = KVCache.create(
             cfg.num_hidden_layers, 2, 32, cfg.num_key_value_heads,
             cfg.head_dim_, jnp.int8, head_major=True, tail_r=4)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="per_row_tail"):
             forward(params, jnp.ones((2, 1), jnp.int32), cache, specs=specs,
                     cfg=cfg, slot_lengths=jnp.zeros((2,), jnp.int32))
+
+
+class TestSlotTail:
+    """Per-row tail windows for the continuous-batching (slot-mode) pool:
+    each row stages decode tokens at (length - tail_base[b]) % R and the
+    engine flushes all rows' windows every R global steps."""
+
+    @pytest.mark.parametrize("kv_dtype", [jnp.bfloat16, jnp.int8])
+    def test_per_row_staging_and_flush_match_direct(self, kv_dtype):
+        """Rows at DIFFERENT lengths: staged writes + per-row flush give
+        a main cache bit-identical (per row, up to that row's window
+        base) to direct slot-mode writes."""
+        L, B, S, H, D, R = 2, 3, 32, 2, 8, 4
+        lengths = np.asarray([0, 3, 5])        # staggered starting points
+        tail = KVCache.create(L, B, S, H, D, kv_dtype, head_major=True,
+                              tail_r=R, per_row_tail=True)
+        tail = tail._replace(tail_base=jnp.asarray(lengths, jnp.int32))
+        ref = KVCache.create(L, B, S, H, D, kv_dtype, head_major=True)
+        for t in range(1, 2 * R + 4):
+            kt = jax.random.normal(jax.random.PRNGKey(t), (B, 1, H, D))
+            sl = jnp.asarray(lengths, jnp.int32)
+            for i in range(L):
+                tail = tail.update_layer_slots(i, kt, -kt, sl)
+                ref = ref.update_layer_slots(i, kt, -kt, sl)
+            # the staged token sits at each row's own window slot
+            slots = (lengths - np.asarray(tail.tail_base)) % R
+            for b in range(B):
+                got = tail.k_tail[:, slots[b], b]      # [L, H, D]
+                np.testing.assert_array_equal(
+                    np.asarray(got.astype(ref.k.dtype)),
+                    np.asarray(ref.k[:, :, b, lengths[b]]))
+            lengths = lengths + 1
+            if t % R == 0:
+                tail = tail.flush_tail(jnp.asarray(lengths, jnp.int32))
+                np.testing.assert_array_equal(np.asarray(tail.tail_base),
+                                              lengths)
+            for b in range(B):
+                base = int(tail.tail_base[b])
+                np.testing.assert_array_equal(
+                    np.asarray(tail.k[:, :, b, :base]),
+                    np.asarray(ref.k[:, :, b, :base]))
+                np.testing.assert_array_equal(
+                    np.asarray(tail.v[:, :, b, :base]),
+                    np.asarray(ref.v[:, :, b, :base]))
+                if kv_dtype == jnp.int8:
+                    np.testing.assert_array_equal(
+                        np.asarray(tail.k_scale[:, :, b, :base]),
+                        np.asarray(ref.k_scale[:, :, b, :base]))
+
+    def test_partial_window_flush_resets_cleanly(self):
+        """A flush mid-window (a row joined late) lands staged tokens at
+        their positions, advances tail_base to the row's length, and
+        later staging restarts at slot 0."""
+        L, B, S, H, D, R = 1, 2, 16, 2, 8, 4
+        tail = KVCache.create(L, B, S, H, D, jnp.bfloat16, head_major=True,
+                              tail_r=R, per_row_tail=True)
+        k1 = jax.random.normal(jax.random.PRNGKey(1), (B, 1, H, D))
+        sl = jnp.asarray([0, 2], jnp.int32)
+        tail = tail.update_layer_slots(0, k1, k1, sl)
+        tail = tail.flush_tail(sl + 1)         # only 1 token staged
+        np.testing.assert_array_equal(np.asarray(tail.tail_base), [1, 3])
+        np.testing.assert_array_equal(
+            np.asarray(tail.k[0, :, 0, 0]),
+            np.asarray(jnp.moveaxis(k1[0, 0], 0, 0).astype(tail.k.dtype)))
+        # next staging goes to slot 0 of the new window
+        k2 = jax.random.normal(jax.random.PRNGKey(2), (B, 1, H, D))
+        tail = tail.update_layer_slots(0, k2, k2, sl + 1)
+        np.testing.assert_array_equal(
+            np.asarray(tail.k_tail[0, 0, 0]),
+            np.asarray(k2[0, 0].astype(tail.k_tail.dtype)))
+
+    @pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8"])
+    def test_forward_slot_tail_matches_unstaged(self, kv_dtype):
+        """Slot-mode decode through two flush boundaries: per-row
+        tail-staged flash == unstaged flash slot writes == XLA slots."""
+        from tests.test_flash_decode import run_steps
+
+        cfg, specs, params = _tiny()
+        B, T, S, R = 2, 8, 64, 4
+        tokens = jax.random.randint(jax.random.PRNGKey(3), (B, T), 0,
+                                    cfg.vocab_size).astype(jnp.int32)
+        mk = lambda hm_, r: KVCache.create(
+            cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
+            cfg.head_dim_, jnp.dtype(kv_dtype), head_major=hm_, tail_r=r,
+            per_row_tail=bool(r))
+        n = 2 * R + 2
+
+        jfwd = jax.jit(forward, static_argnames=("specs", "cfg"))
+        jflush = jax.jit(lambda c, rl: c.flush_tail(rl))
+
+        def run_slots(cache, flush):
+            logits, cache = jfwd(params, tokens, cache, specs=specs, cfg=cfg)
+            outs = [logits[:, -1]]
+            for i in range(n):
+                nxt = jnp.full((B, 1), 7 + 3 * i, jnp.int32)
+                sl = jnp.full((B,), T + i, jnp.int32)
+                logits, cache = jfwd(params, nxt, cache, specs=specs,
+                                     cfg=cfg, slot_lengths=sl)
+                cache = cache.advance(1)
+                if flush and (i + 1) % R == 0:
+                    cache = jflush(cache, sl + 1)
+                outs.append(logits[:, -1])
+            return np.asarray(jnp.stack(outs), np.float32)
+
+        got = run_slots(mk(True, R), True)
+        ref = run_slots(mk(True, 0), False)
+        xla = run_steps(params, cfg,
+                        dataclasses.replace(specs, attn_impl="xla"),
+                        mk(False, 0), tokens, n, slot_mode=True)
+        np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+        np.testing.assert_allclose(got, xla, rtol=6e-2, atol=6e-2)
+
+
+class TestCBEngineTail:
+    """Continuous-batching pool over a tail-staged flash cache."""
+
+    def _engine(self, n_slots=3, max_seq=64):
+        from mixq_tpu.config import EngineConfig
+        from mixq_tpu.engine.batching import ContinuousBatchingEngine
+
+        cfg, specs, params = _tiny()
+        return ContinuousBatchingEngine(
+            params, cfg, specs,
+            EngineConfig(max_batch_size=n_slots, max_seq_len=max_seq,
+                         prefill_chunk=8, kv_dtype="int8"))
+
+    def test_pool_allocates_per_row_tail(self):
+        eng = self._engine()
+        assert eng.cache.head_major
+        assert eng.cache.k_tail is not None
+        assert eng.cache.tail_base.shape == (eng.n_slots,)
+
+    def test_staggered_slot_reuse_past_flush(self):
+        """More requests than slots, staggered arrivals, decode lengths
+        crossing several window boundaries: all requests complete with
+        the right token counts and the run is deterministic."""
+        from mixq_tpu.ops.pallas.flash_decode import DEFAULT_TAIL_R
+
+        n_new = 2 * DEFAULT_TAIL_R + 3
+        results = []
+        for _ in range(2):
+            eng = self._engine(n_slots=2)
+            prompts = [[3, 1, 4, 1, 5], [2, 7], [9], [8, 2, 8, 1]]
+            ids = [eng.add_request(p, n_new) for p in prompts[:3]]
+            for _ in range(3):
+                eng.step()
+            ids.append(eng.add_request(prompts[3], n_new))
+            out = eng.run_to_completion()
+            assert set(out) == set(ids)
+            assert all(len(v) == n_new for v in out.values())
+            results.append([out[r] for r in ids])
+        assert results[0] == results[1]
+        # windows actually flushed (bases advanced past the prompts)
+        assert int(np.asarray(eng.cache.tail_base).max()) > DEFAULT_TAIL_R
 
 
 class TestTailSharding:
