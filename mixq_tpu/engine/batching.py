@@ -100,6 +100,7 @@ class ContinuousBatchingEngine:
         self._insert = _insert
         self._flush = _flush
         self._steps_since_flush = 0
+        self._windows: Dict = {}
 
         hm = use_head_major_cache(
             specs_.attn_impl, mc, self.max_seq,
@@ -189,6 +190,96 @@ class ContinuousBatchingEngine:
                 del self._slot_req[slot]
         return len(active)
 
+    # -- device decode window ------------------------------------------------
+
+    def _get_window(self, sp: SamplingParams):
+        """R decode steps + the tail flush as ONE compiled program
+        (lax.scan with on-device sampling): the stepwise path pays a host
+        round-trip per token; the window pays one per R tokens and folds
+        the window flush into the same dispatch. Cached per sampling
+        params (they're baked into the trace)."""
+        fn = self._windows.get(sp)
+        if fn is not None:
+            return fn
+        specs_, mc = self.specs, self.cfg
+        R = (self.cache.k_tail.shape[1] if self.cache.k_tail is not None
+             else 8)
+        S = self.max_seq
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def window(params, cur_tokens, cache, lengths, active, key):
+            def one_step(c, _):
+                tok, cache, lengths, key = c
+                key, sub = jax.random.split(key)
+                logits, cache = forward(params, tok[:, None], cache,
+                                        specs_, mc, slot_lengths=lengths)
+                t2 = sample(logits[:, -1, :], sub, sp)
+                tok = jnp.where(active, t2, tok)
+                # clamp: a slot that finishes mid-window keeps computing
+                # (static shapes) but must not index past the cache
+                lengths = jnp.minimum(lengths + active.astype(jnp.int32),
+                                      S - 1)
+                return (tok, cache, lengths, key), t2
+
+            (tok, cache, lengths, key), toks = jax.lax.scan(
+                one_step, (cur_tokens, cache, lengths, key), None, length=R)
+            if cache.k_tail is not None:
+                cache = cache.flush_tail(lengths)
+            return toks, cache       # toks [R, B]
+
+        self._windows[sp] = (window, R)
+        return window, R
+
+    def step_window(self, sampling: SamplingParams = SamplingParams(),
+                    eos_token_id: Optional[int] = None) -> int:
+        """Admit pending requests, then run a full R-step decode window on
+        device (one dispatch: R forward+sample steps + the tail flush).
+        Tokens a slot emits after finishing (EOS or token budget) inside
+        the window are discarded; admissions happen only at window
+        boundaries (a queued request waits up to R-1 extra steps).
+        Returns the number of slots that were active in the window."""
+        for rid, slot in self.sched.admit():
+            self._admit(rid, slot)
+
+        active = self.sched.active_slots()
+        if not active:
+            return 0
+
+        # staged-but-unflushed stepwise tokens would overflow the window
+        # buffer mid-scan — flush them first (partial flushes are safe)
+        if self.cache.k_tail is not None and self._steps_since_flush:
+            self.cache = self._flush(self.cache, jnp.asarray(self.lengths))
+            self._steps_since_flush = 0
+
+        active_np = np.zeros((self.n_slots,), bool)
+        active_np[active] = True
+        self._key, sub = jax.random.split(self._key)
+        window, R = self._get_window(sampling)
+        toks, self.cache = window(
+            self.params, jnp.asarray(self.cur_tokens), self.cache,
+            jnp.asarray(self.lengths), jnp.asarray(active_np), sub)
+        toks = np.asarray(toks)                    # [R, n_slots]
+
+        running = set(active)
+        for r in range(R):
+            if not running:
+                break
+            for slot in list(running):
+                rid = self._slot_req[slot]
+                tok = int(toks[r, slot])
+                self._outputs[rid].append(tok)
+                self.lengths[slot] += 1
+                self.cur_tokens[slot] = tok
+                state = self.sched.on_token(slot)
+                if state == 1:
+                    self._done[rid] = self._outputs.pop(rid)
+                    del self._slot_req[slot]
+                    running.discard(slot)
+                elif eos_token_id is not None and tok == eos_token_id:
+                    self.finish_slot(slot)
+                    running.discard(slot)
+        return len(active)
+
     def finish_slot(self, slot: int) -> None:
         """Early-terminate (EOS) the request in `slot`."""
         rid = self._slot_req.pop(slot, None)
@@ -201,18 +292,25 @@ class ContinuousBatchingEngine:
         self, sampling: SamplingParams = SamplingParams(),
         eos_token_id: Optional[int] = None, max_steps: int = 100000,
     ) -> Dict[int, List[int]]:
-        """Drain the queue: step until everything finishes."""
+        """Drain the queue: step until everything finishes. With
+        device_decode_loop (default) each iteration runs a full R-step
+        window in one device dispatch (step_window); otherwise one
+        stepwise decode per iteration."""
         results: Dict[int, List[int]] = {}
         steps = 0
+        use_window = self.ecfg.device_decode_loop
         while self.has_work and steps < max_steps:
-            self.step(sampling)
+            if use_window:
+                self.step_window(sampling, eos_token_id=eos_token_id)
+            else:
+                self.step(sampling)
+                if eos_token_id is not None:
+                    for slot in list(self._slot_req):
+                        rid = self._slot_req[slot]
+                        if (self._outputs.get(rid)
+                                and self._outputs[rid][-1] == eos_token_id):
+                            self.finish_slot(slot)
             steps += 1
-            if eos_token_id is not None:
-                for slot in list(self._slot_req):
-                    rid = self._slot_req[slot]
-                    if (self._outputs.get(rid)
-                            and self._outputs[rid][-1] == eos_token_id):
-                        self.finish_slot(slot)
             results.update(self.finished())
         return results
 

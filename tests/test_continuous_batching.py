@@ -142,6 +142,40 @@ class TestContinuousBatchingEngine:
         assert len(results[rid]) <= 8
 
 
+class TestWindowedCB:
+    """Device decode windows (R steps + flush in one dispatch) must be
+    behaviorally identical to the stepwise path."""
+
+    def _run(self, model, windowed, eos=None, n_slots=2):
+        params, cfg, specs = model
+        from mixq_tpu.config import EngineConfig
+
+        eng = ContinuousBatchingEngine(
+            params, cfg, specs,
+            EngineConfig(max_batch_size=n_slots, max_seq_len=64,
+                         prefill_chunk=8, device_decode_loop=windowed))
+        prompts = [[3, 1, 4, 1, 5], [2, 7], [9], [8, 2, 8, 1]]
+        ids = [eng.add_request(p, 11) for p in prompts[:3]]
+        for _ in range(3):
+            eng.step()                 # stepwise prologue in BOTH modes
+        ids.append(eng.add_request(prompts[3], 11))
+        out = eng.run_to_completion(eos_token_id=eos)
+        return [out[r] for r in ids]
+
+    def test_window_matches_stepwise(self, model):
+        got = self._run(model, windowed=True)
+        ref = self._run(model, windowed=False)
+        assert got == ref
+
+    def test_window_eos_truncates_mid_window(self, model):
+        ref = self._run(model, windowed=False)
+        eos = ref[0][4]                # truncate request 0 mid-window
+        got = self._run(model, windowed=True, eos=eos)
+        exp = self._run(model, windowed=False, eos=eos)
+        assert got == exp
+        assert got[0][-1] == eos and len(got[0]) <= 11
+
+
 class TestScanPathCB:
     def test_cb_scan_matches_cb_loop(self, model):
         """Continuous batching over stacked (lax.scan) params — the
