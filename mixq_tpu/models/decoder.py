@@ -308,8 +308,11 @@ def forward(
 
     # sliding-window models reclaim KV slots (ring buffer): a window-sized
     # cache serves unbounded decode (reference WindowedCache.roll_kv,
-    # fused/cache.py:25-34, as an index transform instead of a copy)
-    ring = cfg.sliding_window is not None
+    # fused/cache.py:25-34, as an index transform instead of a copy).
+    # Head-major (flash) caches keep linear positions instead and window
+    # via the kernel's per-row start offset — full-length cache, no
+    # reclaim (the memory-for-speed trade of the flash opt-in).
+    ring = cfg.sliding_window is not None and not cache.head_major
     if ring and T > 1 and cache.max_seq < cfg.sliding_window + T:
         # a prefill chunk that straddles the wrap point would overwrite
         # positions still inside an in-chunk query's window
@@ -327,11 +330,18 @@ def forward(
         alibi = alibi / jnp.sqrt(jnp.float32(cfg.head_dim_))
 
     head_major = cache.head_major
-    if head_major and (cfg.sliding_window is not None or alibi is not None):
+    if head_major and alibi is not None:
         raise NotImplementedError(
-            "head-major (flash) KV cache does not support sliding-window or "
-            "ALiBi models yet — create the cache with head_major=False")
+            "head-major (flash) KV cache does not support ALiBi models "
+            "yet — create the cache with head_major=False")
     use_tail = cache.k_tail is not None
+    if (use_tail and cfg.sliding_window is not None
+            and cfg.sliding_window <= cache.k_tail.shape[1]):
+        # the kernel's window start masks MAIN positions only; tail tokens
+        # (the newest <=R) must always be inside the window
+        raise ValueError(
+            f"sliding_window ({cfg.sliding_window}) must exceed the tail "
+            f"window depth R={cache.k_tail.shape[1]}")
     if use_tail and slot_lengths is not None and cache.tail_base.ndim != 1:
         raise ValueError(
             "slot-mode decode on a tail-staged cache needs per-row windows: "
@@ -340,6 +350,14 @@ def forward(
     # main[0:tail_base) + tail[0:kv_len - tail_base)  (per-row in slot mode)
     tail_count = (kv_len - cache.tail_base
                   if use_tail and T == 1 else None)
+    # sliding-window decode on the head-major cache: the kernel's per-row
+    # start offset IS the window (attend() convention: keep positions
+    # >= q_pos - W + 1 = kv_len - W for the T=1 query)
+    flash_start = kv_start
+    if head_major and cfg.sliding_window is not None and T == 1:
+        ws = jnp.maximum(
+            jnp.asarray(kv_len, jnp.int32) - cfg.sliding_window, 0)
+        flash_start = ws if kv_start is None else jnp.maximum(kv_start, ws)
 
     use_fused_attn = (
         specs.attn_impl == "pallas" and T == 1 and not head_major
@@ -389,7 +407,7 @@ def forward(
                 out = flash_decode_attention(
                     q[:, 0], k5, v5,
                     cache.tail_base if kt5 is not None else kv_len,
-                    ks5, vs5, kv_start=kv_start, layer=li,
+                    ks5, vs5, kv_start=flash_start, layer=li,
                     k_tail=kt5, v_tail=vt5,
                     kt_scale=kts5, vt_scale=vts5,
                     tail_lens=tail_count if kt5 is not None else None,
@@ -402,9 +420,11 @@ def forward(
                 from mixq_tpu.models.layers import attend_chunked
 
                 return attend_chunked(q, k_new, v_new, q_slot, kv_len,
-                                      kv_start=kv_start)
+                                      kv_start=kv_start,
+                                      sliding_window=cfg.sliding_window)
             return attend(q, k_new, v_new, q_slot, kv_len,
-                          kv_start=kv_start)
+                          kv_start=kv_start,
+                          sliding_window=cfg.sliding_window)
         if use_fused_attn:
             out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c,
                                    kv_start=kv_start)

@@ -495,12 +495,17 @@ def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
                (flash bf16 ~7% behind at S=128 and S=512);
       anything else: batch-major cache.
 
-    Models the head-major path cannot serve yet (sliding-window ring
-    caches, ALiBi additive bias) resolve to False.
+    ALiBi models resolve to False (the kernel has no additive-bias path).
+    Sliding-window models resolve to False under "auto" — the batch-major
+    ring cache bounds KV memory to the window, which flash's linear
+    positions give up — but honor the explicit "flash" opt-in (the kernel
+    windows via its per-row start offset; memory-for-speed trade).
     """
     if attn_impl not in ("flash", "auto"):
         return False
-    if model_cfg.sliding_window is not None or model_cfg.alibi:
+    if model_cfg.alibi:
+        return False
+    if model_cfg.sliding_window is not None and attn_impl != "flash":
         return False
     import jax as _jax
 

@@ -201,10 +201,13 @@ class TestAutoPolicy:
         # auto never picks the interpret-mode kernel off-TPU
         assert not use_head_major_cache("auto", mc, 64, 1)
         assert not use_head_major_cache("xla", mc, 64, 1)
-        # head-major path can't serve sliding-window or alibi models
+        # sliding-window models: explicit flash windows via the kernel's
+        # start offset; auto stays on the memory-bounded ring cache
         import dataclasses as _dc
         win = _dc.replace(mc, sliding_window=32)
-        assert not use_head_major_cache("flash", win, 64, 1)
+        assert use_head_major_cache("flash", win, 64, 1)
+        assert not use_head_major_cache("auto", win, 64, 1)
+        # head-major path can't serve alibi models
         ali = _dc.replace(mc, alibi=True)
         assert not use_head_major_cache("flash", ali, 64, 1)
 

@@ -306,6 +306,74 @@ class TestCBEngineTail:
         assert int(np.asarray(eng.cache.tail_base).max()) > DEFAULT_TAIL_R
 
 
+class TestSlidingWindowFlash:
+    """Sliding-window (mistral-family) decode on the head-major flash
+    cache: the kernel windows via its per-row start offset
+    (kv_len - W) instead of the batch-major path's ring reclaim."""
+
+    def _mistral(self, window):
+        cfg = ModelConfig.tiny(model_type="mistral", sliding_window=window,
+                               num_key_value_heads=4, intermediate_size=128)
+        specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
+        return cfg, specs, params
+
+    @pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8"])
+    def test_flash_window_matches_ring_xla(self, kv_dtype):
+        """Decode PAST the window on the flash cache (tail-staged) must
+        match the ring-reclaim XLA path attending the same positions."""
+        W = 16
+        cfg, specs, params = self._mistral(W)
+        B, T, R = 2, 8, 4
+        tokens = jax.random.randint(jax.random.PRNGKey(3), (B, T), 0,
+                                    cfg.vocab_size).astype(jnp.int32)
+        n = 14                        # kv_len reaches 22 > W
+        hm_cache = KVCache.create(
+            cfg.num_hidden_layers, B, 64, cfg.num_key_value_heads,
+            cfg.head_dim_, jnp.dtype(kv_dtype), head_major=True, tail_r=R)
+        ring_cache = KVCache.create(
+            cfg.num_hidden_layers, B, 32, cfg.num_key_value_heads,
+            cfg.head_dim_, jnp.dtype(kv_dtype))
+        got = run_steps_flushing(params, cfg, specs, hm_cache, tokens, n)
+        ref = run_steps(params, cfg,
+                        dataclasses.replace(specs, attn_impl="xla"),
+                        ring_cache, tokens, n)
+        np.testing.assert_allclose(got, ref, rtol=6e-2, atol=6e-2)
+
+    def test_gate_policy(self):
+        from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
+
+        cfg, _, _ = self._mistral(16)
+        assert not use_head_major_cache("auto", cfg, 256, 1)
+        assert use_head_major_cache("flash", cfg, 256, 1)
+
+    def test_window_must_exceed_tail_depth(self):
+        cfg, specs, params = self._mistral(4)   # W=4 <= R=4
+        cache = KVCache.create(
+            cfg.num_hidden_layers, 2, 64, cfg.num_key_value_heads,
+            cfg.head_dim_, jnp.int8, head_major=True, tail_r=4)
+        with pytest.raises(ValueError, match="sliding_window"):
+            forward(params, jnp.ones((2, 1), jnp.int32), cache,
+                    specs=dataclasses.replace(specs, attn_impl="flash"),
+                    cfg=cfg)
+
+    def test_engine_serves_mistral_flash(self):
+        """InferenceEngine with the flash opt-in generates on a
+        sliding-window model (windowing in the kernel, no ring)."""
+        from mixq_tpu.config import EngineConfig
+        from mixq_tpu.engine import InferenceEngine
+
+        W = 16
+        cfg, specs, params = self._mistral(W)
+        fspecs = dataclasses.replace(specs, attn_impl="flash")
+        ecfg = EngineConfig(max_seq_len=64, prefill_chunk=8,
+                            kv_dtype="int8")
+        eng = InferenceEngine(params, cfg, fspecs, ecfg)
+        assert eng.new_cache(2).head_major
+        out = eng.generate([[1, 5, 9, 4], [2, 2, 7]], max_new_tokens=20)
+        assert [len(r) for r in out] == [20, 20]
+
+
 class TestTailSharding:
     def test_shard_tail_cache(self):
         if jax.device_count() < 8:
