@@ -330,10 +330,6 @@ def forward(
         alibi = alibi / jnp.sqrt(jnp.float32(cfg.head_dim_))
 
     head_major = cache.head_major
-    if head_major and alibi is not None:
-        raise NotImplementedError(
-            "head-major (flash) KV cache does not support ALiBi models "
-            "yet — create the cache with head_major=False")
     use_tail = cache.k_tail is not None
     if (use_tail and cfg.sliding_window is not None
             and cfg.sliding_window <= cache.k_tail.shape[1]):
@@ -411,6 +407,7 @@ def forward(
                     k_tail=kt5, v_tail=vt5,
                     kt_scale=kts5, vt_scale=vts5,
                     tail_lens=tail_count if kt5 is not None else None,
+                    alibi_slopes=alibi,
                     interpret=jax.default_backend() != "tpu")
                 return out[:, None]
             # prefill chunk on a FRESH cache (the engine guarantees
@@ -421,10 +418,11 @@ def forward(
 
                 return attend_chunked(q, k_new, v_new, q_slot, kv_len,
                                       kv_start=kv_start,
-                                      sliding_window=cfg.sliding_window)
+                                      sliding_window=cfg.sliding_window,
+                                      alibi=alibi)
             return attend(q, k_new, v_new, q_slot, kv_len,
                           kv_start=kv_start,
-                          sliding_window=cfg.sliding_window)
+                          sliding_window=cfg.sliding_window, alibi=alibi)
         if use_fused_attn:
             out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c,
                                    kv_start=kv_start)

@@ -119,6 +119,9 @@ def _kernel(
                           # None
     vt_ref,
     vts_ref,
+    al_ref,               # [h_blk, g, 128] f32 ALiBi slopes (value repeated
+                          # on the lane axis — Mosaic wants a 128-aligned
+                          # last dim; ~KBs) or None
     # outputs
     o_ref,                # [h_blk*g, D]
     # scratch
@@ -130,6 +133,11 @@ def _kernel(
     quantized: bool,
     has_tail: bool,
     mode: str = "full",
+    has_alibi: bool = False,  # ALiBi additive bias slope*(pos - q_pos):
+                          # the per-(row,head) constant -slope*q_pos
+                          # cancels in softmax, so the kernel adds
+                          # slope*abs_pos on main AND tail scores (same
+                          # coordinate system)
 ):
     # NOTE measured dead end: aliasing the cache operands through the call
     # (input_output_aliases + pass-through outputs) to spare XLA's buffer
@@ -240,6 +248,12 @@ def _kernel(
             preferred_element_type=jnp.float32) * scale      # [h, g, S]
     qk = qk + bias[None]
 
+    if has_alibi:
+        sl = al_ref[...][:, :, :1]                           # [h_blk, g, 1]
+        qk = qk + sl * pos[None].astype(jnp.float32)
+    else:
+        sl = None
+
     if has_tail:
         # Tail scores: the last <=R unflushed tokens live in the
         # token-major tail. The tail is tiny, so it is widened +
@@ -272,6 +286,9 @@ def _kernel(
             preferred_element_type=jnp.float32) * scale
         tpos = lax.broadcasted_iota(jnp.int32, (1, R), 1)
         qk_t = qk_t + jnp.where(tpos < tail_len, 0.0, MASK_VALUE)[None]
+        if sl is not None:            # tail tokens sit at positions
+            qk_t = qk_t + (sl     # length..length+tail_len-1
+                           * (length + tpos)[None].astype(jnp.float32))
         m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True),
                         jnp.max(qk_t, axis=-1, keepdims=True))
         p_t = jnp.exp(qk_t - m)
@@ -332,6 +349,8 @@ def flash_decode_attention(
                                     # (same grid/copies, compute disabled)
     h_blk: Optional[int] = None,    # tuning override of the head-block size
     layer=None,                     # i32 layer index for 5D caches
+    alibi_slopes: Optional[jax.Array] = None,  # [n_q] f32 per-head ALiBi
+                                    # slopes (config-derived)
 ):
     """Returns attention output [B, n_q, D] in q.dtype."""
     B, n_q, D = q.shape
@@ -404,9 +423,19 @@ def flash_decode_attention(
         out_shape = jax.ShapeDtypeStruct((B, n_q, D), jnp.float32)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        # [n_q] -> [n_kv, g, 128]: the value repeated across the lane axis
+        # (Mosaic wants the block's last dim 128-aligned; a few KB)
+        al3 = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(n_kv, g)[..., None],
+            (n_kv, g, 128))
+        al_spec = pl.BlockSpec((h_blk, g, 128), lambda j, b, *_: (j, 0, 0))
+    else:
+        al3 = al_spec = None
     kernel = functools.partial(
         _kernel, batch_size=B, h_blk=h_blk, groups=g, quantized=quantized,
-        has_tail=has_tail, mode=mode)
+        has_tail=has_tail, mode=mode, has_alibi=has_alibi)
 
     if has_tail:
         R = k_tail.shape[1]
@@ -434,6 +463,7 @@ def flash_decode_attention(
         kts_spec if quantized else None,
         kt_spec,
         kts_spec if quantized else None,
+        al_spec,
     ]
     scratch_shapes = (
         pltpu.VMEM((2, h_blk, S, D), k.dtype),
@@ -473,6 +503,7 @@ def flash_decode_attention(
         kt_scale if quantized else None,
         v_tail,
         vt_scale if quantized else None,
+        al3,
     )
     return out.reshape(B, n_q, D).astype(q.dtype)
 
@@ -495,17 +526,16 @@ def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
                (flash bf16 ~7% behind at S=128 and S=512);
       anything else: batch-major cache.
 
-    ALiBi models resolve to False (the kernel has no additive-bias path).
-    Sliding-window models resolve to False under "auto" — the batch-major
-    ring cache bounds KV memory to the window, which flash's linear
-    positions give up — but honor the explicit "flash" opt-in (the kernel
-    windows via its per-row start offset; memory-for-speed trade).
+    Sliding-window and ALiBi models resolve to False under "auto" (the
+    ring cache bounds window-model KV memory; ALiBi's baked-constant bias
+    is unmeasured on hardware) but honor the explicit "flash" opt-in:
+    the kernel windows via its per-row start offset (memory-for-speed
+    trade) and adds the ALiBi bias from config-derived constants.
     """
     if attn_impl not in ("flash", "auto"):
         return False
-    if model_cfg.alibi:
-        return False
-    if model_cfg.sliding_window is not None and attn_impl != "flash":
+    if ((model_cfg.sliding_window is not None or model_cfg.alibi)
+            and attn_impl != "flash"):
         return False
     import jax as _jax
 

@@ -81,6 +81,30 @@ class TestKernelVsAttend:
         np.testing.assert_allclose(np.float32(got), np.float32(ref),
                                    rtol=3e-2, atol=3e-2)
 
+    @pytest.mark.parametrize("nq,nkv", [(4, 4), (8, 2)])
+    def test_alibi(self, nq, nkv):
+        """Config-derived ALiBi slopes (streamed as a tiny lane-padded
+        input) must match attend()'s additive-bias path (per-row
+        lengths)."""
+        from mixq_tpu.models.layers import alibi_slopes
+
+        B, S, D = 3, 128, 64
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q = jax.random.normal(ks[0], (B, nq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, nkv, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, nkv, D), jnp.float32)
+        lengths = jnp.asarray([128, 40, 7], jnp.int32)
+        sl = alibi_slopes(nq)
+        ref = attend(q[:, None].astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16), (lengths - 1)[:, None], lengths,
+                     alibi=sl)[:, 0]
+        got = flash_decode_attention(
+            q.astype(jnp.bfloat16), hm(k.astype(jnp.bfloat16)),
+            hm(v.astype(jnp.bfloat16)), lengths,
+            alibi_slopes=sl, **INTERP)
+        np.testing.assert_allclose(np.float32(got), np.float32(ref),
+                                   rtol=3e-2, atol=3e-2)
+
     def test_zero_length_rows_are_zero(self):
         B, S, H, D = 3, 128, 2, 64
         q = jnp.ones((B, H, D), jnp.bfloat16)
@@ -207,9 +231,10 @@ class TestAutoPolicy:
         win = _dc.replace(mc, sliding_window=32)
         assert use_head_major_cache("flash", win, 64, 1)
         assert not use_head_major_cache("auto", win, 64, 1)
-        # head-major path can't serve alibi models
+        # ALiBi rides the kernel's baked-constant bias on explicit flash
         ali = _dc.replace(mc, alibi=True)
-        assert not use_head_major_cache("flash", ali, 64, 1)
+        assert use_head_major_cache("flash", ali, 64, 1)
+        assert not use_head_major_cache("auto", ali, 64, 1)
 
     def test_default_is_auto(self):
         assert DecoderSpecs().attn_impl == "auto"

@@ -374,6 +374,42 @@ class TestSlidingWindowFlash:
         assert [len(r) for r in out] == [20, 20]
 
 
+class TestAlibiFlash:
+    """ALiBi (Baichuan-13B / falcon-alibi family) decode on the head-major
+    flash cache: slopes baked into the kernel as config constants."""
+
+    def _alibi_model(self):
+        cfg = ModelConfig.tiny(alibi=True, rope_style="none",
+                               num_key_value_heads=4, intermediate_size=128)
+        specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+        specs = dataclasses.replace(specs, attn_impl="flash")
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
+        return cfg, specs, params
+
+    @pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8"])
+    def test_flash_alibi_matches_xla(self, kv_dtype):
+        """Decode through a flush boundary: flash+tail ALiBi == the
+        batch-major XLA additive-bias path."""
+        from tests.test_flash_decode import run_steps
+
+        cfg, specs, params = self._alibi_model()
+        B, T, S, R = 2, 8, 64, 4
+        tokens = jax.random.randint(jax.random.PRNGKey(3), (B, T), 0,
+                                    cfg.vocab_size).astype(jnp.int32)
+        n = R + 3
+        hm_cache = KVCache.create(
+            cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
+            cfg.head_dim_, jnp.dtype(kv_dtype), head_major=True, tail_r=R)
+        xla_cache = KVCache.create(
+            cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
+            cfg.head_dim_, jnp.dtype(kv_dtype))
+        got = run_steps_flushing(params, cfg, specs, hm_cache, tokens, n)
+        ref = run_steps(params, cfg,
+                        dataclasses.replace(specs, attn_impl="xla"),
+                        xla_cache, tokens, n)
+        np.testing.assert_allclose(got, ref, rtol=6e-2, atol=6e-2)
+
+
 class TestTailSharding:
     def test_shard_tail_cache(self):
         if jax.device_count() < 8:
