@@ -50,6 +50,29 @@ def tiny_cfg(n_layers: int) -> ModelConfig:
 
 
 def main():
+    # Fail fast and VISIBLY if the TPU relay is unreachable: backend init
+    # otherwise hangs indefinitely inside jax.devices() (observed during
+    # relay outages) and the run records nothing. The watchdog is cancelled
+    # the moment the backend answers.
+    import threading
+
+    def _startup_timeout():
+        print(json.dumps({
+            "metric": "llama2_7b_w8a8o16_decode_throughput",
+            "value": 0.0, "unit": "tokens/s", "vs_baseline": 0.0,
+            "error": "backend init timed out (TPU relay unreachable)",
+        }), flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(
+        float(os.environ.get("BENCH_STARTUP_TIMEOUT", "240")),
+        _startup_timeout)
+    watchdog.daemon = True
+    watchdog.start()
+    n_dev = len(jax.devices())
+    watchdog.cancel()
+    print(f"backend up: {n_dev} device(s)", file=sys.stderr)
+
     preset = os.environ.get("BENCH_PRESET", "7b")
     B = int(os.environ.get("BENCH_BATCH", "256"))
     S = int(os.environ.get("BENCH_SEQ", "32"))
