@@ -62,7 +62,8 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(params, tokens, cache, slot_lengths):
             logits, cache = forward(params, tokens, cache, specs_, mc,
-                                    slot_lengths=slot_lengths)
+                                    slot_lengths=slot_lengths,
+                                    decode_mesh=mesh)
             return logits[:, -1, :], cache
 
         @jax.jit
@@ -212,7 +213,8 @@ class ContinuousBatchingEngine:
                 tok, cache, lengths, key = c
                 key, sub = jax.random.split(key)
                 logits, cache = forward(params, tok[:, None], cache,
-                                        specs_, mc, slot_lengths=lengths)
+                                        specs_, mc, slot_lengths=lengths,
+                                        decode_mesh=self.mesh)
                 t2 = sample(logits[:, -1, :], sub, sp)
                 tok = jnp.where(active, t2, tok)
                 # clamp: a slot that finishes mid-window keeps computing

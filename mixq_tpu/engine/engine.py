@@ -57,7 +57,8 @@ class InferenceEngine:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _step(params, tokens, cache, kv_start):
-            logits, cache = forward(params, tokens, cache, specs, mc, kv_start)
+            logits, cache = forward(params, tokens, cache, specs, mc,
+                                    kv_start, decode_mesh=mesh)
             return logits[:, -1, :], cache
 
         @functools.partial(jax.jit, static_argnums=(2,))
@@ -151,7 +152,7 @@ class InferenceEngine:
                 step, buf, nxt, cache, key, done = c
                 key, sub = jax.random.split(key)
                 logits, cache = forward(params, nxt[:, None], cache, specs,
-                                        mc, kv_start)
+                                        mc, kv_start, decode_mesh=self.mesh)
                 tok = sample(logits[:, -1, :], sub, sp)
                 tok = jnp.where(done, eos_id, tok)
                 done = done | (tok == eos_id)

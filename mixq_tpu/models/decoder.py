@@ -270,6 +270,11 @@ def forward(
                                    # == 0 — the engine guarantees this); KV
                                    # still lands in the cache as usual.
     ring_head_axis: Optional[str] = None,  # TP axis for heads (TP x SP)
+    decode_mesh=None,              # static (close over via partial): Mesh
+                                   # for head-major flash decode — the
+                                   # pallas call is opaque to GSPMD, so it
+                                   # must run under shard_map on meshed
+                                   # engines (flash_decode_sharded)
 ):
     """Run the decoder on a token chunk starting at cache.length.
 
@@ -397,10 +402,10 @@ def forward(
                 # aliased custom-call buffers), far worse than the copies
                 # it was meant to avoid.
                 from mixq_tpu.ops.pallas.flash_decode import (
-                    flash_decode_attention)
+                    flash_decode_sharded)
 
                 k5, v5, ks5, vs5, li, kt5, vt5, kts5, vts5 = full
-                out = flash_decode_attention(
+                out = flash_decode_sharded(
                     q[:, 0], k5, v5,
                     cache.tail_base if kt5 is not None else kv_len,
                     ks5, vs5, kv_start=flash_start, layer=li,
@@ -408,7 +413,8 @@ def forward(
                     kt_scale=kts5, vt_scale=vts5,
                     tail_lens=tail_count if kt5 is not None else None,
                     alibi_slopes=alibi,
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=jax.default_backend() != "tpu",
+                    mesh=decode_mesh)
                 return out[:, None]
             # prefill chunk on a FRESH cache (the engine guarantees
             # length==0 at entry): attention over the chunk's own fp k/v ==

@@ -508,6 +508,96 @@ def flash_decode_attention(
     return out.reshape(B, n_q, D).astype(q.dtype)
 
 
+def flash_decode_sharded(
+    q, k, v, lengths,
+    k_scale=None, v_scale=None, kv_start=None,
+    k_tail=None, v_tail=None, kt_scale=None, vt_scale=None,
+    tail_lens=None, interpret: bool = False, layer=None,
+    alibi_slopes=None,
+    mesh=None, batch_axis: str = "data", head_axis: str = "model",
+):
+    """flash_decode_attention under GSPMD meshes: a pallas call is OPAQUE
+    to the SPMD partitioner (it would all-gather/replicate the multi-GB
+    cache operands), so meshed callers run the kernel inside
+    jax.shard_map — each shard attends its own (batch rows x kv heads)
+    block; there is no cross-shard math because softmax is per
+    (row, head). Falls back to the plain call when no mesh is given or
+    the shapes don't divide the mesh (replicated: correct but slow)."""
+    plain = functools.partial(
+        flash_decode_attention, q, k, v, lengths, k_scale, v_scale,
+        kv_start=kv_start, k_tail=k_tail, v_tail=v_tail,
+        kt_scale=kt_scale, vt_scale=vt_scale, tail_lens=tail_lens,
+        interpret=interpret, layer=layer, alibi_slopes=alibi_slopes)
+    if mesh is None:
+        return plain()
+    from jax.sharding import PartitionSpec as P
+
+    B, n_q, _ = q.shape
+    n_kv = k.shape[1 if k.ndim == 5 else 0]
+    dp = mesh.shape.get(batch_axis, 1)
+    tp = mesh.shape.get(head_axis, 1)
+    if (B % dp or n_q % tp or n_kv % tp
+            or (k.ndim == 4 and k_tail is not None)):
+        return plain()
+
+    # scalars/Nones -> [B] arrays so they shard on the batch axis
+    lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (B,))
+    kv_start = (jnp.zeros((B,), jnp.int32) if kv_start is None else
+                jnp.broadcast_to(jnp.asarray(kv_start, jnp.int32), (B,)))
+    quantized = k_scale is not None
+    has_tail = k_tail is not None
+    if has_tail:
+        tail_lens = jnp.broadcast_to(
+            jnp.asarray(0 if tail_lens is None else tail_lens, jnp.int32),
+            (B,))
+    layer_arr = jnp.asarray(0 if layer is None else layer, jnp.int32)
+
+    stacked = k.ndim == 5
+    kv_spec = (P(None, head_axis, batch_axis, None, None) if stacked
+               else P(head_axis, batch_axis, None, None))
+    sc_spec = (P(None, head_axis, batch_axis, None) if stacked
+               else P(head_axis, batch_axis, None))
+    args = [q, k, v, lengths, kv_start, layer_arr]
+    specs = [P(batch_axis, head_axis, None), kv_spec, kv_spec,
+             P(batch_axis), P(batch_axis), P()]
+    if quantized:
+        args += [k_scale, v_scale]
+        specs += [sc_spec, sc_spec]
+    if has_tail:
+        args += [k_tail, v_tail, tail_lens]
+        specs += [P(None, None, batch_axis, head_axis, None)] * 2 \
+            + [P(batch_axis)]
+        if quantized:
+            args += [kt_scale, vt_scale]
+            specs += [P(None, batch_axis, None, head_axis)] * 2
+    if alibi_slopes is not None:
+        args.append(jnp.asarray(alibi_slopes, jnp.float32))
+        specs.append(P(head_axis))
+
+    def inner(*ts):
+        it = iter(ts)
+        q_, k_, v_, len_, st_, li_ = [next(it) for _ in range(6)]
+        ks_ = vs_ = kt_ = vt_ = kts_ = vts_ = tl_ = al_ = None
+        if quantized:
+            ks_, vs_ = next(it), next(it)
+        if has_tail:
+            kt_, vt_, tl_ = next(it), next(it), next(it)
+            if quantized:
+                kts_, vts_ = next(it), next(it)
+        if alibi_slopes is not None:
+            al_ = next(it)
+        return flash_decode_attention(
+            q_, k_, v_, len_, ks_, vs_, kv_start=st_,
+            k_tail=kt_, v_tail=vt_, kt_scale=kts_, vt_scale=vts_,
+            tail_lens=tl_, interpret=interpret, layer=li_,
+            alibi_slopes=al_)
+
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=tuple(specs),
+        out_specs=P(batch_axis, head_axis, None), check_vma=False,
+    )(*args)
+
+
 def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
                          kv_itemsize: int) -> bool:
     """Single policy point for 'should serving use the head-major flash

@@ -71,3 +71,30 @@ class Test70BStructure:
         out_r = eng_ref.run_to_completion()
         out_t = eng_tp.run_to_completion()
         assert [out_r[i] for i in ids_r] == [out_t[i] for i in ids_t]
+
+    def test_continuous_batching_flash_over_mesh(self):
+        """Meshed CB pool on the head-major flash cache: the pallas call
+        runs under shard_map (flash_decode_sharded) — (dp x tp) shards
+        each attend their own rows x kv-heads block; windowed decode +
+        per-row tail flush ride GSPMD. Greedy tokens must match the
+        single-device flash engine."""
+        import dataclasses
+
+        cfg = llama70b_tiny()
+        specs = dataclasses.replace(
+            DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8)),
+            attn_impl="flash")
+        params = init_decoder_params(jax.random.PRNGKey(2), cfg, specs)
+        mesh = make_mesh((2, 4))
+        ecfg = EngineConfig(max_batch_size=2, max_seq_len=32,
+                            prefill_chunk=8, kv_dtype="int8")
+        eng_ref = ContinuousBatchingEngine(params, cfg, specs, ecfg)
+        eng_tp = ContinuousBatchingEngine(params, cfg, specs, ecfg,
+                                          mesh=mesh)
+        assert eng_tp.cache.head_major and eng_tp.cache.k_tail is not None
+        prompts = [[1, 2, 3], [4, 5, 6, 7]]
+        ids_r = [eng_ref.add_request(p, 10) for p in prompts]
+        ids_t = [eng_tp.add_request(p, 10) for p in prompts]
+        out_r = eng_ref.run_to_completion()
+        out_t = eng_tp.run_to_completion()
+        assert [out_r[i] for i in ids_r] == [out_t[i] for i in ids_t]
