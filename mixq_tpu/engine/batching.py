@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mixq_tpu.config import EngineConfig, ModelConfig
-from mixq_tpu.engine.sampling import SamplingParams, sample
+from mixq_tpu.engine.sampling import SamplingParams, sample_per_slot
 from mixq_tpu.engine.scheduler import make_scheduler
 from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs, forward
 from mixq_tpu.models.layers import KVCache
@@ -123,6 +123,8 @@ class ContinuousBatchingEngine:
         self.lengths = np.zeros((self.n_slots,), np.int32)
         self.cur_tokens = np.zeros((self.n_slots,), np.int32)
         self._prompts: Dict[int, List[int]] = {}
+        self._req_sampling: Dict[int, Optional[SamplingParams]] = {}
+        self._slot_sampling: Dict[int, Optional[SamplingParams]] = {}
         self._outputs: Dict[int, List[int]] = {}
         self._done: Dict[int, List[int]] = {}
         self._slot_req: Dict[int, int] = {}
@@ -131,7 +133,11 @@ class ContinuousBatchingEngine:
 
     # -- request API -------------------------------------------------------
 
-    def add_request(self, prompt: Sequence[int], max_new_tokens: int) -> int:
+    def add_request(self, prompt: Sequence[int], max_new_tokens: int,
+                    sampling: Optional[SamplingParams] = None) -> int:
+        """`sampling`: per-REQUEST sampling config; None inherits the
+        step-level default. Heterogeneous batches (greedy rows next to
+        temperature rows) run in the same compiled step."""
         rid = self._next_id
         self._next_id += 1
         rc = self.sched.add_request(rid, len(prompt), max_new_tokens)
@@ -139,8 +145,20 @@ class ContinuousBatchingEngine:
             raise ValueError(f"request rejected (code {rc}): "
                              f"prompt_len={len(prompt)} max_seq={self.max_seq}")
         self._prompts[rid] = list(prompt)
+        self._req_sampling[rid] = sampling
         self._outputs[rid] = []
         return rid
+
+    def _sampling_arrays(self, default: SamplingParams):
+        """Per-slot (temperature, top_k, top_p) arrays: each slot carries
+        its request's params, defaulting to the step-level config."""
+        t = np.full((self.n_slots,), default.temperature, np.float32)
+        k = np.full((self.n_slots,), default.top_k, np.int32)
+        p = np.full((self.n_slots,), default.top_p, np.float32)
+        for slot, sp in self._slot_sampling.items():
+            if sp is not None:
+                t[slot], k[slot], p[slot] = sp.temperature, sp.top_k, sp.top_p
+        return jnp.asarray(t), jnp.asarray(k), jnp.asarray(p)
 
     def finished(self) -> Dict[int, List[int]]:
         """Pop finished request outputs."""
@@ -171,7 +189,8 @@ class ContinuousBatchingEngine:
             self.params, jnp.asarray(self.cur_tokens[:, None]),
             self.cache, jnp.asarray(self.lengths))
         self._key, sub = jax.random.split(self._key)
-        nxt = np.asarray(sample(logits, sub, sampling))
+        nxt = np.asarray(sample_per_slot(
+            logits, sub, *self._sampling_arrays(sampling)))
 
         # only active slots advance / record
         self.lengths[active_np] += 1
@@ -189,17 +208,18 @@ class ContinuousBatchingEngine:
             if state == 1:
                 self._done[rid] = self._outputs.pop(rid)
                 del self._slot_req[slot]
+                self._slot_sampling.pop(slot, None)
         return len(active)
 
     # -- device decode window ------------------------------------------------
 
-    def _get_window(self, sp: SamplingParams):
+    def _get_window(self):
         """R decode steps + the tail flush as ONE compiled program
         (lax.scan with on-device sampling): the stepwise path pays a host
         round-trip per token; the window pays one per R tokens and folds
-        the window flush into the same dispatch. Cached per sampling
-        params (they're baked into the trace)."""
-        fn = self._windows.get(sp)
+        the window flush into the same dispatch. Per-slot sampling params
+        are operands, so one program serves any request mix."""
+        fn = self._windows.get("window")
         if fn is not None:
             return fn
         specs_, mc = self.specs, self.cfg
@@ -208,14 +228,16 @@ class ContinuousBatchingEngine:
         S = self.max_seq
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def window(params, cur_tokens, cache, lengths, active, key):
+        def window(params, cur_tokens, cache, lengths, active, key,
+                   temp, topk, topp):
             def one_step(c, _):
                 tok, cache, lengths, key = c
                 key, sub = jax.random.split(key)
                 logits, cache = forward(params, tok[:, None], cache,
                                         specs_, mc, slot_lengths=lengths,
                                         decode_mesh=self.mesh)
-                t2 = sample(logits[:, -1, :], sub, sp)
+                t2 = sample_per_slot(logits[:, -1, :], sub, temp, topk,
+                                     topp)
                 tok = jnp.where(active, t2, tok)
                 # clamp: a slot that finishes mid-window keeps computing
                 # (static shapes) but must not index past the cache
@@ -229,7 +251,7 @@ class ContinuousBatchingEngine:
                 cache = cache.flush_tail(lengths)
             return toks, cache       # toks [R, B]
 
-        self._windows[sp] = (window, R)
+        self._windows["window"] = (window, R)
         return window, R
 
     def step_window(self, sampling: SamplingParams = SamplingParams(),
@@ -256,10 +278,11 @@ class ContinuousBatchingEngine:
         active_np = np.zeros((self.n_slots,), bool)
         active_np[active] = True
         self._key, sub = jax.random.split(self._key)
-        window, R = self._get_window(sampling)
+        window, R = self._get_window()
         toks, self.cache = window(
             self.params, jnp.asarray(self.cur_tokens), self.cache,
-            jnp.asarray(self.lengths), jnp.asarray(active_np), sub)
+            jnp.asarray(self.lengths), jnp.asarray(active_np), sub,
+            *self._sampling_arrays(sampling))
         toks = np.asarray(toks)                    # [R, n_slots]
 
         running = set(active)
@@ -276,6 +299,7 @@ class ContinuousBatchingEngine:
                 if state == 1:
                     self._done[rid] = self._outputs.pop(rid)
                     del self._slot_req[slot]
+                    self._slot_sampling.pop(slot, None)
                     running.discard(slot)
                 elif eos_token_id is not None and tok == eos_token_id:
                     self.finish_slot(slot)
@@ -288,6 +312,7 @@ class ContinuousBatchingEngine:
         if rid is None:
             return
         self.sched.finish(slot)
+        self._slot_sampling.pop(slot, None)
         self._done[rid] = self._outputs.pop(rid)
 
     def run_to_completion(
@@ -349,6 +374,7 @@ class ContinuousBatchingEngine:
         self.lengths[slot] = n - 1
         self.cur_tokens[slot] = prompt[-1]
         self._slot_req[slot] = rid
+        self._slot_sampling[slot] = self._req_sampling.pop(rid, None)
 
     def stats(self):
         return self.sched.stats()

@@ -176,6 +176,74 @@ class TestWindowedCB:
         assert got[0][-1] == eos and len(got[0]) <= 11
 
 
+class TestPerRequestSampling:
+    """Per-slot sampling params: heterogeneous requests in one compiled
+    step (add_request(sampling=...))."""
+
+    def test_sampler_matches_static_params(self):
+        import jax.numpy as jnp
+
+        from mixq_tpu.engine.sampling import (SamplingParams, sample,
+                                              sample_per_slot)
+
+        key = jax.random.PRNGKey(0)
+        logits = jax.random.normal(jax.random.PRNGKey(1), (4, 64)) * 3
+        B = 4
+        # all-greedy rows == argmax
+        out = sample_per_slot(logits, key, jnp.zeros((B,)),
+                              jnp.zeros((B,), jnp.int32), jnp.ones((B,)))
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(jnp.argmax(logits, -1)))
+        # uniform temperature+top_p rows == the static-param sampler
+        sp = SamplingParams(temperature=0.7, top_p=0.8)
+        ref = sample(logits, key, sp)
+        got = sample_per_slot(logits, key, jnp.full((B,), 0.7),
+                              jnp.zeros((B,), jnp.int32),
+                              jnp.full((B,), 0.8))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_top_k_one_is_greedy(self):
+        import jax.numpy as jnp
+
+        from mixq_tpu.engine.sampling import sample_per_slot
+
+        logits = jax.random.normal(jax.random.PRNGKey(2), (3, 32)) * 5
+        out = sample_per_slot(logits, jax.random.PRNGKey(3),
+                              jnp.full((3,), 1.0),
+                              jnp.ones((3,), jnp.int32),   # top_k=1
+                              jnp.ones((3,)))
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(jnp.argmax(logits, -1)))
+
+    @pytest.mark.parametrize("windowed", [True, False])
+    def test_mixed_batch_greedy_rows_unaffected(self, model, windowed):
+        """A temperature request sharing the pool must not perturb the
+        greedy requests' outputs."""
+        from mixq_tpu.config import EngineConfig
+        from mixq_tpu.engine.sampling import SamplingParams
+
+        params, cfg, specs = model
+
+        def run(with_sampled):
+            eng = ContinuousBatchingEngine(
+                params, cfg, specs,
+                EngineConfig(max_batch_size=3, max_seq_len=64,
+                             prefill_chunk=8, device_decode_loop=windowed))
+            g1 = eng.add_request([3, 1, 4, 1, 5], 9)
+            g2 = eng.add_request([2, 7], 9)
+            s = (eng.add_request([9, 9, 8], 9,
+                                 sampling=SamplingParams(temperature=0.9,
+                                                         top_k=8))
+                 if with_sampled else None)
+            out = eng.run_to_completion()
+            return [out[g1], out[g2]], (out[s] if with_sampled else None)
+
+        greedy_only, _ = run(False)
+        mixed, sampled_row = run(True)
+        assert mixed == greedy_only
+        assert len(sampled_row) == 9
+
+
 class TestScanPathCB:
     def test_cb_scan_matches_cb_loop(self, model):
         """Continuous batching over stacked (lax.scan) params — the
