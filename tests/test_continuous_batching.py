@@ -176,6 +176,48 @@ class TestWindowedCB:
         assert got[0][-1] == eos and len(got[0]) <= 11
 
 
+class TestServingSoak:
+    def test_randomized_arrivals_match_uniform_engine(self, model):
+        """Randomized serving soak: 14 requests with random prompt
+        lengths/budgets/arrival times through the windowed pool (slots
+        reused many times, flushes crossing request lifetimes). Every
+        greedy request's output must equal the dedicated uniform engine
+        run of the same prompt."""
+        import random
+
+        from mixq_tpu.config import EngineConfig
+
+        params, cfg, specs = model
+        rng = random.Random(7)
+        prompts = [[rng.randrange(1, 250) for _ in range(rng.randint(1, 14))]
+                   for _ in range(14)]
+        budgets = [rng.randint(1, 12) for _ in prompts]
+
+        eng = ContinuousBatchingEngine(
+            params, cfg, specs,
+            EngineConfig(max_batch_size=3, max_seq_len=64, prefill_chunk=8))
+        ids = {}
+        results = {}
+        pending = list(zip(prompts, budgets))
+        step = 0
+        while pending or eng.has_work:
+            if pending and rng.random() < 0.5:
+                p, b = pending.pop(0)
+                ids[eng.add_request(p, b)] = (p, b)
+            eng.step_window()
+            results.update(eng.finished())
+            step += 1
+            assert step < 500, "soak did not drain"
+        assert set(results) == set(ids)
+
+        ref_engine = InferenceEngine(
+            params, cfg, specs, EngineConfig(max_seq_len=64, prefill_chunk=8))
+        for rid, (p, b) in ids.items():
+            assert len(results[rid]) == b
+            ref = ref_engine.generate([p], max_new_tokens=b)[0]
+            assert results[rid] == ref, f"rid={rid} prompt={p}"
+
+
 class TestPerRequestSampling:
     """Per-slot sampling params: heterogeneous requests in one compiled
     step (add_request(sampling=...))."""
