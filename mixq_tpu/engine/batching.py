@@ -4,11 +4,11 @@ North-star requirement (BASELINE.json: "continuous batching across hosts");
 the reference has nothing comparable (static batch, one generate() call).
 
 Design: a fixed pool of `n_slots` KV-cache rows. Requests queue in the
-(native C++) scheduler; admission prefilels the prompt with a bucketed
-[1, Tp] program and copies the resulting KV rows into the request's slot;
-every step() then runs ONE T=1 decode over all slots (inactive slots compute
-garbage that is ignored — static shapes, no recompilation as requests come
-and go). Per-slot positions flow through `slot_lengths`.
+(native C++) scheduler; all prompts admitted in a step share one bucketed
+[k, Tp] prefill program and ONE scatter copies their KV rows into their
+slots; every step() then runs ONE T=1 decode over all slots (inactive
+slots compute garbage that is ignored — static shapes, no recompilation
+as requests come and go). Per-slot positions flow through `slot_lengths`.
 """
 from __future__ import annotations
 
@@ -73,23 +73,36 @@ class ContinuousBatchingEngine:
             return logits[:, -1, :], cache
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def _insert(big: KVCache, small: KVCache, slot, new_len) -> KVCache:
-            # copy the [L, 1, Tp, ...] prefill KV into the slot row (row
-            # axis is 1, or 2 for head-major flash caches)
+        def _insert(big: KVCache, small: KVCache, slots, new_lens) -> KVCache:
+            """Copy a [L, k, Tp, ...] batched prefill's KV into rows
+            `slots` of the pool. ONE scatter covers all k admissions:
+            any write into the multi-GB cache is a whole-array pass
+            (CLAUDE.md), so k separate row inserts would pay the pass k
+            times."""
+            Tp = small.max_seq
+
             def put(dst, src):
-                lead = (0, 0, slot) if big.head_major else (0, slot, 0)
-                return jax.lax.dynamic_update_slice(
-                    dst, src.astype(dst.dtype), lead + (0,) * (dst.ndim - 3))
+                # row axis is 1, or 2 for head-major flash caches; a
+                # single advanced index keeps its dim in place
+                src = src.astype(dst.dtype)
+                if big.head_major:
+                    return dst.at[:, :, slots, :src.shape[3]].set(src)
+                return dst.at[:, slots, :src.shape[2]].set(src)
+
             big = big._replace(k=put(big.k, small.k), v=put(big.v, small.v))
             if big.quantized:
-                big = big._replace(
-                    k_scale=put(big.k_scale, small.k_scale),
-                    v_scale=put(big.v_scale, small.v_scale))
+                # head-major scales are S-padded to 128 lanes per cache;
+                # slice the small cache's pad down to the written span
+                ksc, vsc = small.k_scale, small.v_scale
+                if big.head_major:
+                    ksc, vsc = ksc[..., :Tp], vsc[..., :Tp]
+                big = big._replace(k_scale=put(big.k_scale, ksc),
+                                   v_scale=put(big.v_scale, vsc))
             if big.k_tail is not None:
-                # the reused row's tail window restarts at its new length
+                # reused rows' tail windows restart at their new lengths
                 # (stale tail slots land at masked positions until then)
                 big = big._replace(
-                    tail_base=big.tail_base.at[slot].set(new_len))
+                    tail_base=big.tail_base.at[slots].set(new_lens))
             return big
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -175,8 +188,9 @@ class ContinuousBatchingEngine:
     def step(self, sampling: SamplingParams = SamplingParams()) -> int:
         """Admit + prefill pending requests, then one decode step for all
         active slots. Returns number of active slots stepped."""
-        for rid, slot in self.sched.admit():
-            self._admit(rid, slot)
+        admits = self.sched.admit()
+        if admits:
+            self._admit_many(admits)
 
         active = self.sched.active_slots()
         if not active:
@@ -262,8 +276,9 @@ class ContinuousBatchingEngine:
         the window are discarded; admissions happen only at window
         boundaries (a queued request waits up to R-1 extra steps).
         Returns the number of slots that were active in the window."""
-        for rid, slot in self.sched.admit():
-            self._admit(rid, slot)
+        admits = self.sched.admit()
+        if admits:
+            self._admit_many(admits)
 
         active = self.sched.active_slots()
         if not active:
@@ -343,38 +358,50 @@ class ContinuousBatchingEngine:
 
     # -- internals ---------------------------------------------------------
 
-    def _admit(self, rid: int, slot: int) -> None:
-        """Prefill positions 0..n-2 of the prompt into the slot; the LAST
-        prompt token is replayed by the first decode step (which then emits
-        the first generated token). This sidesteps padded-position logits:
-        the bucketed prefill's last-position logits are never used."""
-        prompt = self._prompts.pop(rid)
-        n = len(prompt)
-        Tp = min(_round_up(max(n - 1, 1), self.ecfg.prefill_chunk),
+    def _admit_many(self, admits) -> None:
+        """Admit [(rid, slot), ...]: prefill positions 0..n-2 of each
+        prompt into its slot (the LAST prompt token is replayed by the
+        first decode step, which then emits the first generated token —
+        this sidesteps padded-position logits). All multi-token prompts
+        admitted in the same step share ONE batched [k, Tp] prefill and
+        ONE insert scatter (rows attend only their own prefix, so a
+        batched prefill is exact; the insert's whole-cache pass is paid
+        once, not k times)."""
+        group = []
+        for rid, slot in admits:
+            prompt = self._prompts.pop(rid)
+            n = len(prompt)
+            if n > 1:
+                group.append((slot, prompt))
+            elif self.cache.k_tail is not None:
+                # single-token prompt: nothing to insert, but the reused
+                # row's tail window must still restart at length 0
+                self.cache = self.cache._replace(
+                    tail_base=self.cache.tail_base.at[slot].set(0))
+            self.lengths[slot] = n - 1
+            self.cur_tokens[slot] = prompt[-1]
+            self._slot_req[slot] = rid
+            self._slot_sampling[slot] = self._req_sampling.pop(rid, None)
+        if not group:
+            return
+        k = len(group)
+        n_max = max(len(p) for _, p in group)
+        Tp = min(_round_up(max(n_max - 1, 1), self.ecfg.prefill_chunk),
                  self.max_seq)
-        toks = np.zeros((1, Tp), np.int32)
-        toks[0, :n - 1] = prompt[:n - 1]   # right-pad; positions >= n-1 are
-                                           # garbage but masked by slot length
-
-        if n > 1:
-            small = KVCache.create(
-                self.cfg.num_hidden_layers, 1, Tp,
-                self.cfg.num_key_value_heads, self.cfg.head_dim_,
-                jnp.dtype(self.ecfg.kv_dtype),
-                head_major=self.cache.head_major)
-            _, small = self._prefill(self.params, jnp.asarray(toks), small)
-            self.cache = self._insert(self.cache, small,
-                                      jnp.asarray(slot, jnp.int32),
-                                      jnp.asarray(n - 1, jnp.int32))
-        elif self.cache.k_tail is not None:
-            # single-token prompt: nothing to insert, but the reused
-            # row's tail window must still restart at length 0
-            self.cache = self.cache._replace(
-                tail_base=self.cache.tail_base.at[slot].set(0))
-        self.lengths[slot] = n - 1
-        self.cur_tokens[slot] = prompt[-1]
-        self._slot_req[slot] = rid
-        self._slot_sampling[slot] = self._req_sampling.pop(rid, None)
+        toks = np.zeros((k, Tp), np.int32)
+        for i, (_, p) in enumerate(group):
+            toks[i, :len(p) - 1] = p[:-1]  # right-pad; positions >= n-1
+                                           # are garbage, masked by length
+        small = KVCache.create(
+            self.cfg.num_hidden_layers, k, Tp,
+            self.cfg.num_key_value_heads, self.cfg.head_dim_,
+            jnp.dtype(self.ecfg.kv_dtype),
+            head_major=self.cache.head_major)
+        _, small = self._prefill(self.params, jnp.asarray(toks), small)
+        self.cache = self._insert(
+            self.cache, small,
+            jnp.asarray([s for s, _ in group], jnp.int32),
+            jnp.asarray([len(p) - 1 for _, p in group], jnp.int32))
 
     def stats(self):
         return self.sched.stats()
