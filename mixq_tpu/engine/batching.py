@@ -143,6 +143,7 @@ class ContinuousBatchingEngine:
         self._slot_req: Dict[int, int] = {}
         self._next_id = 0
         self._key = jax.random.PRNGKey(0)
+        self._sampling_dev = None     # cached per-slot sampling arrays
 
     # -- request API -------------------------------------------------------
 
@@ -163,15 +164,23 @@ class ContinuousBatchingEngine:
         return rid
 
     def _sampling_arrays(self, default: SamplingParams):
-        """Per-slot (temperature, top_k, top_p) arrays: each slot carries
-        its request's params, defaulting to the step-level config."""
+        """Per-slot (temperature, top_k, top_p) DEVICE arrays: each slot
+        carries its request's params, defaulting to the step-level
+        config. Cached between steps (three host->device transfers per
+        token otherwise); slot churn invalidates via _slot_sampling
+        mutations setting _sampling_dev = None."""
+        if (self._sampling_dev is not None
+                and self._sampling_dev[0] == default):
+            return self._sampling_dev[1]
         t = np.full((self.n_slots,), default.temperature, np.float32)
         k = np.full((self.n_slots,), default.top_k, np.int32)
         p = np.full((self.n_slots,), default.top_p, np.float32)
         for slot, sp in self._slot_sampling.items():
             if sp is not None:
                 t[slot], k[slot], p[slot] = sp.temperature, sp.top_k, sp.top_p
-        return jnp.asarray(t), jnp.asarray(k), jnp.asarray(p)
+        arrays = (jnp.asarray(t), jnp.asarray(k), jnp.asarray(p))
+        self._sampling_dev = (default, arrays)
+        return arrays
 
     def finished(self) -> Dict[int, List[int]]:
         """Pop finished request outputs."""
@@ -223,6 +232,7 @@ class ContinuousBatchingEngine:
                 self._done[rid] = self._outputs.pop(rid)
                 del self._slot_req[slot]
                 self._slot_sampling.pop(slot, None)
+                self._sampling_dev = None
         return len(active)
 
     # -- device decode window ------------------------------------------------
@@ -315,6 +325,7 @@ class ContinuousBatchingEngine:
                     self._done[rid] = self._outputs.pop(rid)
                     del self._slot_req[slot]
                     self._slot_sampling.pop(slot, None)
+                    self._sampling_dev = None
                     running.discard(slot)
                 elif eos_token_id is not None and tok == eos_token_id:
                     self.finish_slot(slot)
@@ -328,6 +339,7 @@ class ContinuousBatchingEngine:
             return
         self.sched.finish(slot)
         self._slot_sampling.pop(slot, None)
+        self._sampling_dev = None
         self._done[rid] = self._outputs.pop(rid)
 
     def run_to_completion(
@@ -382,26 +394,33 @@ class ContinuousBatchingEngine:
             self.cur_tokens[slot] = prompt[-1]
             self._slot_req[slot] = rid
             self._slot_sampling[slot] = self._req_sampling.pop(rid, None)
+            self._sampling_dev = None
         if not group:
             return
+        # bucket k to a power of two (pad rows duplicate the last request:
+        # the insert scatter writes the same values twice — idempotent) so
+        # the (k, Tp) program set stays O(log n_slots * Tp buckets); 7B
+        # compiles cost minutes over the relay (CLAUDE.md)
         k = len(group)
+        k_pad = 1 << (k - 1).bit_length()
+        rows = [group[min(i, k - 1)] for i in range(k_pad)]
         n_max = max(len(p) for _, p in group)
         Tp = min(_round_up(max(n_max - 1, 1), self.ecfg.prefill_chunk),
                  self.max_seq)
-        toks = np.zeros((k, Tp), np.int32)
-        for i, (_, p) in enumerate(group):
+        toks = np.zeros((k_pad, Tp), np.int32)
+        for i, (_, p) in enumerate(rows):
             toks[i, :len(p) - 1] = p[:-1]  # right-pad; positions >= n-1
                                            # are garbage, masked by length
         small = KVCache.create(
-            self.cfg.num_hidden_layers, k, Tp,
+            self.cfg.num_hidden_layers, k_pad, Tp,
             self.cfg.num_key_value_heads, self.cfg.head_dim_,
             jnp.dtype(self.ecfg.kv_dtype),
             head_major=self.cache.head_major)
         _, small = self._prefill(self.params, jnp.asarray(toks), small)
         self.cache = self._insert(
             self.cache, small,
-            jnp.asarray([s for s, _ in group], jnp.int32),
-            jnp.asarray([len(p) - 1 for _, p in group], jnp.int32))
+            jnp.asarray([s for s, _ in rows], jnp.int32),
+            jnp.asarray([len(p) - 1 for _, p in rows], jnp.int32))
 
     def stats(self):
         return self.sched.stats()

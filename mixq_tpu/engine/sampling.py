@@ -60,7 +60,12 @@ def sample_per_slot(
     top-k by per-row rank, top-p by per-row cumulative cutoff — so one
     compiled program serves any mix. The sort-based masking only runs
     when some row actually samples (lax.cond skips it for all-greedy
-    batches at runtime)."""
+    batches at runtime).
+
+    Tie rule differs from sample(): rank-based top-k keeps EXACTLY k
+    candidates, while sample()'s threshold form keeps every logit equal
+    to the k-th value — tied distributions can diverge between the CB
+    engine (this sampler) and InferenceEngine.generate (sample())."""
     B, V = logits.shape
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

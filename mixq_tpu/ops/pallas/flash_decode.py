@@ -249,10 +249,10 @@ def _kernel(
     qk = qk + bias[None]
 
     if has_alibi:
-        sl = al_ref[...][:, :, :1]                           # [h_blk, g, 1]
-        qk = qk + sl * pos[None].astype(jnp.float32)
+        alibi_sl = al_ref[...][:, :, :1]                     # [h_blk, g, 1]
+        qk = qk + alibi_sl * pos[None].astype(jnp.float32)
     else:
-        sl = None
+        alibi_sl = None
 
     if has_tail:
         # Tail scores: the last <=R unflushed tokens live in the
@@ -265,11 +265,11 @@ def _kernel(
         kts = kts_ref[...] if quantized else None            # [R, n_kv]
         vts = vts_ref[...] if quantized else None
         if kt_ref.shape[1] != h_blk:     # head grid split: slice our range
-            sl = lambda x, ax: lax.dynamic_slice_in_dim(
+            hslice = lambda x, ax: lax.dynamic_slice_in_dim(
                 x, pl.program_id(0) * h_blk, h_blk, axis=ax)
-            ktw, vtw = sl(ktw, 1), sl(vtw, 1)
+            ktw, vtw = hslice(ktw, 1), hslice(vtw, 1)
             if quantized:
-                kts, vts = sl(kts, 1), sl(vts, 1)
+                kts, vts = hslice(kts, 1), hslice(vts, 1)
         # head-major [h, R, D] for the batched dots: Mosaic's tpu.matmul
         # requires BOTH batch dims at operand position 0 ("batch dims must
         # be equal") — a [R,h,*]-batched-on-dim-1 form fails to lower. The
@@ -286,8 +286,8 @@ def _kernel(
             preferred_element_type=jnp.float32) * scale
         tpos = lax.broadcasted_iota(jnp.int32, (1, R), 1)
         qk_t = qk_t + jnp.where(tpos < tail_len, 0.0, MASK_VALUE)[None]
-        if sl is not None:            # tail tokens sit at positions
-            qk_t = qk_t + (sl     # length..length+tail_len-1
+        if alibi_sl is not None:      # tail tokens sit at positions
+            qk_t = qk_t + (alibi_sl   # length..length+tail_len-1
                            * (length + tpos)[None].astype(jnp.float32))
         m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True),
                         jnp.max(qk_t, axis=-1, keepdims=True))

@@ -105,6 +105,40 @@ class TestKernelVsAttend:
         np.testing.assert_allclose(np.float32(got), np.float32(ref),
                                    rtol=3e-2, atol=3e-2)
 
+    @pytest.mark.parametrize("with_alibi", [False, True])
+    def test_tail_with_head_grid_split(self, with_alibi):
+        """Tail-staged kernel with the head grid SPLIT (h_blk < n_kv):
+        the tail refs must be sliced to the program's head range.
+        Regression: an ALiBi-path variable shadowed the slicing lambda
+        and crashed any split+tail trace."""
+        from mixq_tpu.models.layers import alibi_slopes
+
+        B, S, H, D, R = 2, 128, 2, 64, 4
+        ks = jax.random.split(jax.random.PRNGKey(9), 5)
+        q = jax.random.normal(ks[0], (B, H, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
+        kt = jax.random.normal(ks[3], (R, B, H, D), jnp.bfloat16)
+        vt = jax.random.normal(ks[4], (R, B, H, D), jnp.bfloat16)
+        lengths = jnp.asarray([100, 64], jnp.int32)   # main tokens
+        tail_lens = jnp.asarray([3, 1], jnp.int32)
+        sl = alibi_slopes(H) if with_alibi else None
+        # reference: attend over main with the tail written at its
+        # positions
+        k_full, v_full = k, v
+        for b in range(B):
+            for j in range(int(tail_lens[b])):
+                k_full = k_full.at[b, int(lengths[b]) + j].set(kt[j, b])
+                v_full = v_full.at[b, int(lengths[b]) + j].set(vt[j, b])
+        tot = lengths + tail_lens
+        ref = attend(q[:, None], k_full, v_full, (tot - 1)[:, None], tot,
+                     alibi=sl)[:, 0]
+        got = flash_decode_attention(
+            q, hm(k), hm(v), lengths, k_tail=kt, v_tail=vt,
+            tail_lens=tail_lens, alibi_slopes=sl, h_blk=1, **INTERP)
+        np.testing.assert_allclose(np.float32(got), np.float32(ref),
+                                   rtol=3e-2, atol=3e-2)
+
     def test_zero_length_rows_are_zero(self):
         B, S, H, D = 3, 128, 2, 64
         q = jnp.ones((B, H, D), jnp.bfloat16)
