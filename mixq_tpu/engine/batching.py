@@ -192,6 +192,65 @@ class ContinuousBatchingEngine:
         s = self.sched.stats()
         return s["queued"] > 0 or s["active"] > 0
 
+    def warmup(self, prompt_buckets: Optional[Sequence[int]] = None,
+               group_sizes: Optional[Sequence[int]] = None) -> int:
+        """Pre-compile the serving program set — decode step, decode
+        window, and the (k, Tp) prefill/insert buckets — so no request
+        ever pays a compile (XLA compiles cost minutes at 7B on this
+        stack). Returns the number of programs compiled. Defaults:
+        prefill-chunk multiples up to max_seq, power-of-two group sizes
+        up to the pool size."""
+        import math
+
+        if prompt_buckets is None:
+            prompt_buckets = range(self.ecfg.prefill_chunk,
+                                   self.max_seq + 1,
+                                   self.ecfg.prefill_chunk)
+        if group_sizes is None:
+            group_sizes = [1 << i for i in
+                           range(math.ceil(math.log2(self.n_slots)) + 1)
+                           ] if self.n_slots > 1 else [1]
+        n = 0
+        aval = jax.ShapeDtypeStruct
+        for Tp in prompt_buckets:
+            for k in group_sizes:
+                small = KVCache.create(
+                    self.cfg.num_hidden_layers, k, Tp,
+                    self.cfg.num_key_value_heads, self.cfg.head_dim_,
+                    jnp.dtype(self.ecfg.kv_dtype),
+                    head_major=self.cache.head_major)
+                small_avals = jax.tree.map(
+                    lambda x: aval(x.shape, x.dtype), small)
+                self._prefill.lower(
+                    self.params, aval((k, Tp), jnp.int32),
+                    small_avals).compile()
+                self._insert.lower(
+                    jax.tree.map(lambda x: aval(x.shape, x.dtype),
+                                 self.cache),
+                    small_avals, aval((k,), jnp.int32),
+                    aval((k,), jnp.int32)).compile()
+                n += 2
+        cache_avals = jax.tree.map(lambda x: aval(x.shape, x.dtype),
+                                   self.cache)
+        self._decode.lower(
+            self.params, aval((self.n_slots, 1), jnp.int32), cache_avals,
+            aval((self.n_slots,), jnp.int32)).compile()
+        n += 1
+        window, _ = self._get_window()
+        window.lower(
+            self.params, aval((self.n_slots,), jnp.int32), cache_avals,
+            aval((self.n_slots,), jnp.int32),
+            aval((self.n_slots,), jnp.bool_), aval((2,), jnp.uint32),
+            aval((self.n_slots,), jnp.float32),
+            aval((self.n_slots,), jnp.int32),
+            aval((self.n_slots,), jnp.float32)).compile()
+        n += 1
+        if self.cache.k_tail is not None:
+            self._flush.lower(cache_avals,
+                              aval((self.n_slots,), jnp.int32)).compile()
+            n += 1
+        return n
+
     # -- one serving step --------------------------------------------------
 
     def step(self, sampling: SamplingParams = SamplingParams()) -> int:

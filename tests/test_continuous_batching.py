@@ -176,6 +176,26 @@ class TestWindowedCB:
         assert got[0][-1] == eos and len(got[0]) <= 11
 
 
+class TestWarmup:
+    def test_warmup_compiles_program_set(self, model):
+        """warmup() pre-compiles decode/window/prefill-bucket programs
+        (a compile costs minutes at 7B over the relay; requests must
+        never pay it) and the engine serves normally afterwards."""
+        from mixq_tpu.config import EngineConfig
+
+        params, cfg, specs = model
+        eng = ContinuousBatchingEngine(
+            params, cfg, specs,
+            EngineConfig(max_batch_size=2, max_seq_len=16, prefill_chunk=8))
+        n = eng.warmup()
+        # buckets Tp in {8, 16} x k in {1, 2} x (prefill + insert) = 8,
+        # + decode + window (fp16 cache: no flush program)
+        assert n == 10
+        ids = [eng.add_request(p, 4) for p in ([1, 2, 3], [5])]
+        out = eng.run_to_completion()
+        assert all(len(out[i]) == 4 for i in ids)
+
+
 class TestServingSoak:
     def test_randomized_arrivals_match_uniform_engine(self, model):
         """Randomized serving soak: 14 requests with random prompt
