@@ -78,3 +78,21 @@ class AutoModel:
         else:
             params, cfg, specs = AutoModel.from_pretrained(path, **kwargs)
         return InferenceEngine(params, cfg, specs, engine_config)
+
+    @staticmethod
+    def serving_engine(
+        path: str,
+        engine_config: Optional[EngineConfig] = None,
+        mesh=None,
+        **kwargs,
+    ):
+        """Convenience: build a ContinuousBatchingEngine (slot-pool
+        serving with per-request sampling) from a checkpoint directory."""
+        from mixq_tpu.engine.batching import ContinuousBatchingEngine
+
+        if os.path.exists(os.path.join(path, "manifest.json")):
+            params, cfg, specs = AutoModel.from_quantized(path)
+        else:
+            params, cfg, specs = AutoModel.from_pretrained(path, **kwargs)
+        return ContinuousBatchingEngine(params, cfg, specs, engine_config,
+                                        mesh=mesh)

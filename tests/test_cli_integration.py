@@ -96,6 +96,25 @@ class TestCLIs:
         with np.load(out_file) as f:
             assert len(f.files) == 8  # 2 layers x 4 groups
 
+    def test_serve_cb_cli(self, hf_dir, tmp_path):
+        """The serving driver drains a JSONL request file through the
+        slot pool (no tokenizer: prompt_ids mode) and emits one JSON
+        line per completion."""
+        reqs = tmp_path / "reqs.jsonl"
+        reqs.write_text("\n".join([
+            json.dumps({"prompt_ids": [1, 2, 3], "max_new_tokens": 5}),
+            json.dumps({"prompt_ids": [7], "max_new_tokens": 3,
+                        "temperature": 0.8, "top_k": 8}),
+            json.dumps({"prompt_ids": [4, 5], "max_new_tokens": 4}),
+        ]))
+        out = run_cli("examples/serve_cb.py", "--model_path", hf_dir,
+                      "--requests", str(reqs), "--slots", "2",
+                      "--max_seq", "32")
+        rows = [json.loads(l) for l in out.strip().splitlines()]
+        assert sorted(r["id"] for r in rows) == [0, 1, 2]
+        assert {r["id"]: r["tokens"] for r in rows} == {0: 5, 1: 3, 2: 4}
+        assert all(len(r["token_ids"]) == r["tokens"] for r in rows)
+
     def test_quant_w4_with_calib(self, hf_dir, tmp_path):
         qdir = str(tmp_path / "quant4")
         tokens = np.random.RandomState(2).randint(0, 256, 4096).astype(np.int32)
