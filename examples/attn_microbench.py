@@ -82,35 +82,50 @@ def main():
     if quantized:
         kv_bytes += 2 * n_kv * B * S * 4
 
+    W = int(os.environ.get("MB_WIN", str(max(S // 2, 1))))
+
     def make_fn(impl):
         # caches must be explicit jit args — closed-over arrays are inlined
         # as HLO constants and blow past the relay's request-size limit
         if impl.startswith("flash"):
-            # "flash", "flash_dma", or "flash:<mode>" passthrough
+            # "flash", "flash_dma", "flash_alibi" (in-kernel ALiBi bias),
+            # "flash_win" (sliding window via start offset, W=MB_WIN),
+            # or "flash:<mode>" passthrough
+            mode, al, start = "full", None, None
             if impl == "flash_dma":
                 mode = "dma"
+            elif impl == "flash_alibi":
+                from mixq_tpu.models.layers import alibi_slopes
+
+                al = alibi_slopes(n_q)
+            elif impl == "flash_win":
+                start = jnp.full((B,), S - W, jnp.int32)
             elif ":" in impl:
                 mode = impl.split(":", 1)[1]
-            else:
-                mode = "full"
 
             @jax.jit
             def f(q, k, v, ks, vs):
                 out = flash_decode_attention(
-                    q, k, v, lengths, ks, vs, mode=mode, h_blk=h_blk)
+                    q, k, v, lengths, ks, vs, kv_start=start, mode=mode,
+                    h_blk=h_blk, alibi_slopes=al)
                 return out.astype(jnp.bfloat16)
             return functools.partial(
                 f, k=k_hm, v=v_hm,
                 ks=ks_hm if quantized else None,
                 vs=vs_hm if quantized else None)
-        if impl in ("xla", "xla_int8"):
+        if impl in ("xla", "xla_int8", "xla_alibi", "xla_win"):
+            from mixq_tpu.models.layers import alibi_slopes
+
+            al = alibi_slopes(n_q) if impl == "xla_alibi" else None
+            win = W if impl == "xla_win" else None
 
             @jax.jit
             def f(q, k, v, ks, vs):
                 out = attend(q[:, None], k, v,
                              jnp.full((1,), S - 1, jnp.int32), lengths,
                              k_scale=ks, v_scale=vs,
-                             int8_compute=(impl == "xla_int8"))
+                             int8_compute=(impl == "xla_int8"),
+                             alibi=al, sliding_window=win)
                 return out[:, 0].astype(jnp.bfloat16)
             return functools.partial(
                 f, k=k_bm, v=v_bm,
