@@ -96,6 +96,13 @@ class ModelConfig:
     parallel_attn_mlp: bool = False    # falcon/gptj-style parallel block
     rope_style: str = "neox"           # "neox" (half-rotate) | "gptj" (interleaved)
     rotary_dim: Optional[int] = None   # partial rotary (gptj/chatglm)
+    # HF rope_scaling: "linear" (positions / factor) or "llama3"
+    # (Llama-3.1+ piecewise frequency rescale). None = unscaled.
+    rope_scaling_type: Optional[str] = None
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0      # llama3 only
+    rope_high_freq_factor: float = 4.0     # llama3 only
+    rope_original_max_position: int = 8192  # llama3 only
     sliding_window: Optional[int] = None
     alibi: bool = False                # ALiBi additive attention bias instead
                                        # of rotary (Baichuan-13B, falcon-alibi;

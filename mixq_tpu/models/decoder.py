@@ -298,7 +298,16 @@ def forward(
         else:
             rope_pos = q_slot
     rot = cfg.rotary_dim or cfg.head_dim_
-    cos, sin = rope_cos_sin(rope_pos, rot, cfg.rope_theta)
+    if cfg.rope_scaling_type == "llama3":
+        rope_scaling = ("llama3", cfg.rope_scaling_factor,
+                        cfg.rope_low_freq_factor, cfg.rope_high_freq_factor,
+                        cfg.rope_original_max_position)
+    elif cfg.rope_scaling_type == "linear":
+        rope_scaling = ("linear", cfg.rope_scaling_factor)
+    else:
+        rope_scaling = None
+    cos, sin = rope_cos_sin(rope_pos, rot, cfg.rope_theta,
+                            scaling=rope_scaling)
     if cfg.rope_style == "none":
         cos, sin = jnp.ones_like(cos), jnp.zeros_like(sin)  # identity rotation
     if params.pos_embed is not None:  # OPT learned positions

@@ -46,6 +46,31 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             "max_position_embeddings", hf.get("n_positions", 4096)),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
     )
+    def rope_scaling_kw(hf):
+        """HF `rope_scaling` -> ModelConfig fields. "llama3" (Llama-3.1+)
+        and "linear" are implemented; "default"/None pass through;
+        anything else (yarn, dynamic NTK, longrope) raises rather than
+        silently computing wrong positions."""
+        rs = hf.get("rope_scaling") or None
+        if not rs:
+            return {}
+        rtype = rs.get("rope_type", rs.get("type", "default"))
+        if rtype in ("default",):
+            return {}
+        if rtype == "linear":
+            return {"rope_scaling_type": "linear",
+                    "rope_scaling_factor": float(rs["factor"])}
+        if rtype == "llama3":
+            return {
+                "rope_scaling_type": "llama3",
+                "rope_scaling_factor": float(rs["factor"]),
+                "rope_low_freq_factor": float(rs["low_freq_factor"]),
+                "rope_high_freq_factor": float(rs["high_freq_factor"]),
+                "rope_original_max_position": int(
+                    rs["original_max_position_embeddings"]),
+            }
+        raise ValueError(f"unsupported rope_scaling type {rtype!r}")
+
     if mt in ("llama", "aquila", "baichuan", "mistral", "qwen2"):
         # Baichuan-13B uses ALiBi instead of rotary; the reference selects the
         # eager additive-bias attention by num_hidden_layers==40
@@ -69,6 +94,7 @@ def config_from_hf(hf: Dict) -> ModelConfig:
                             else None),
             alibi=alibi,
             rope_style="none" if alibi else "neox",
+            **rope_scaling_kw(hf),
         )
     if mt == "falcon":
         n_head = common["num_attention_heads"]

@@ -74,12 +74,38 @@ def rope_cos_sin(
     positions: jax.Array,       # [...] int32
     dim: int,
     theta: float = 10000.0,
+    scaling: Optional[tuple] = None,  # None | ("linear", factor) |
+                                # ("llama3", factor, low_f, high_f, orig_ctx)
 ) -> Tuple[jax.Array, jax.Array]:
     """Compute fp32 cos/sin tables for given positions (reference computes
-    fp32 tables too, attn.py:30-44). Returns ([..., dim/2] cos, sin)."""
+    fp32 tables too, attn.py:30-44). Returns ([..., dim/2] cos, sin).
+
+    `scaling` implements HF rope_scaling: "linear" divides every frequency
+    by `factor`; "llama3" (Llama-3.1+) keeps high frequencies, divides low
+    frequencies by `factor`, and smoothly interpolates between
+    (transformers modeling_rope_utils._compute_llama3_parameters)."""
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
     )
+    if scaling is not None:
+        kind, factor = scaling[0], scaling[1]
+        if kind == "linear":
+            inv_freq = inv_freq / factor
+        elif kind == "llama3":
+            _, factor, low_f, high_f, orig = scaling
+            import math
+
+            low_wl = orig / low_f
+            high_wl = orig / high_f
+            wavelen = 2.0 * math.pi / inv_freq
+            scaled = inv_freq / factor
+            smooth = (orig / wavelen - low_f) / (high_f - low_f)
+            smoothed = (1.0 - smooth) * scaled + smooth * inv_freq
+            inv_freq = jnp.where(
+                wavelen > low_wl, scaled,
+                jnp.where(wavelen < high_wl, inv_freq, smoothed))
+        else:
+            raise ValueError(f"unsupported rope scaling {kind}")
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., dim/2]
     return jnp.cos(angles), jnp.sin(angles)
 

@@ -53,6 +53,51 @@ class TestLlamaFamily:
         model = LlamaForCausalLM(cfg)
         run_parity(model, cfg.to_dict(), tiny_tokens(128))
 
+    def test_llama3_rope_scaling(self):
+        """Llama-3.1-style rope_scaling (piecewise frequency rescale) must
+        match HF's model end-to-end — unscaled rope on such a checkpoint
+        silently computes wrong positions."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=256,
+            rope_theta=10000.0,
+            rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                          "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                          "original_max_position_embeddings": 32},
+        )
+        torch.manual_seed(13)
+        model = LlamaForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=13))
+        assert mcfg.rope_scaling_type == "llama3"
+
+    def test_linear_rope_scaling(self):
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=256,
+            rope_scaling={"rope_type": "linear", "factor": 4.0},
+        )
+        torch.manual_seed(14)
+        model = LlamaForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=14))
+        assert mcfg.rope_scaling_type == "linear"
+
+    def test_unsupported_rope_scaling_rejected(self):
+        from mixq_tpu.models.hf import config_from_hf
+
+        hf = {"model_type": "llama", "vocab_size": 64, "hidden_size": 32,
+              "intermediate_size": 64, "num_hidden_layers": 1,
+              "num_attention_heads": 2,
+              "rope_scaling": {"rope_type": "yarn", "factor": 4.0}}
+        import pytest as _pt
+        with _pt.raises(ValueError, match="rope_scaling"):
+            config_from_hf(hf)
+
     def test_llama_tied_embeddings(self):
         from transformers import LlamaConfig, LlamaForCausalLM
         cfg = LlamaConfig(
