@@ -96,6 +96,12 @@ class ModelConfig:
     parallel_attn_mlp: bool = False    # falcon/gptj-style parallel block
     rope_style: str = "neox"           # "neox" (half-rotate) | "gptj" (interleaved)
     rotary_dim: Optional[int] = None   # partial rotary (gptj/chatglm)
+    embed_multiplier: float = 1.0      # gemma scales embeddings by
+                                       # sqrt(hidden_size) (rounded to the
+                                       # activation dtype, matching HF)
+    gated_mlp: Optional[bool] = None   # None: gated iff hidden_act=="silu"
+                                       # (llama SwiGLU vs falcon/gptj plain);
+                                       # gemma overrides True (GeGLU)
     # HF rope_scaling: "linear" (positions / factor) or "llama3"
     # (Llama-3.1+ piecewise frequency rescale). None = unscaled.
     rope_scaling_type: Optional[str] = None

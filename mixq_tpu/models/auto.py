@@ -4,7 +4,7 @@ The reference's AutoForCausalLM (models/auto.py:26-53) + BaseForCausalLM
 (models/base.py) surface, functional: returns (params, model_cfg, specs)
 ready for InferenceEngine. Supported model families (reference registry
 auto.py:6-15 + north-star additions): llama / llama-2 / llama-3, aquila,
-baichuan, mistral, qwen2, falcon, gptj, opt, chatglm.
+baichuan, mistral, qwen2, falcon, gptj, opt, chatglm, gemma.
 """
 from __future__ import annotations
 
@@ -24,7 +24,7 @@ from mixq_tpu.quantize.quantizer import quantize_model, resolve_specs
 
 SUPPORTED_MODEL_TYPES = (
     "llama", "aquila", "baichuan", "mistral", "qwen2", "falcon", "gptj",
-    "opt", "chatglm",
+    "opt", "chatglm", "gemma",
 )
 
 

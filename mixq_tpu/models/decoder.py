@@ -156,13 +156,20 @@ def _mlp(h: jax.Array, mlp: MLPParams, specs: DecoderSpecs, cfg: ModelConfig):
     shares one quantized activation — the functional equivalent of the
     reference's cache.q_xcache reuse between up_proj and gate_proj."""
     if mlp.gate is not None:
+        # gated-MLP activation follows the config: SwiGLU (llama family)
+        # or GeGLU (gemma's gelu_pytorch_tanh == tanh-approx gelu)
+        gate_fuse = {"gelu": "gelu", "gelu_new": "gelu_new",
+                     "gelu_pytorch_tanh": "gelu_new"}.get(
+                         cfg.hidden_act, "silu")
+        spec_gate = (specs.gate if specs.gate.fuse == gate_fuse
+                     else dataclasses.replace(specs.gate, fuse=gate_fuse))
         if specs.up.version in ("FP16", "WEIGHT_ONLY", "QUIK"):
             up = mixed_linear(mlp.up, h, specs.up)
-            gate = mixed_linear(mlp.gate, h, specs.gate)     # fused silu
+            gate = mixed_linear(mlp.gate, h, spec_gate)      # fused act
         else:
             act = prepare_act(h, mlp.up, specs.up)
             up = mixed_linear_prepared(mlp.up, act, specs.up)
-            gate = mixed_linear_prepared(mlp.gate, act, specs.gate)
+            gate = mixed_linear_prepared(mlp.gate, act, spec_gate)
         inner = (gate.astype(jnp.float32) * up.astype(jnp.float32)).astype(up.dtype)
     else:
         spec_up = specs.up
@@ -285,6 +292,10 @@ def forward(
     """
     B, T = tokens.shape
     x = jnp.take(params.embed, tokens, axis=0).astype(jnp.dtype(specs.wqkv.out_dtype))
+    if cfg.embed_multiplier != 1.0:
+        # gemma: sqrt(hidden) embed scale, rounded to the activation dtype
+        # exactly as HF does (GemmaModel normalizer tensor cast)
+        x = x * jnp.asarray(cfg.embed_multiplier, x.dtype)
 
     if slot_lengths is not None:
         assert T == 1, "slot mode is a decode step (T=1)"
@@ -678,7 +689,9 @@ def init_decoder_params(
         )
         mlp = MLPParams(
             up=lin(ks[2], H, I, specs.up),
-            gate=lin(ks[3], H, I, specs.gate) if cfg.hidden_act == "silu" else None,
+            gate=(lin(ks[3], H, I, specs.gate)
+                  if (cfg.gated_mlp if cfg.gated_mlp is not None
+                      else cfg.hidden_act == "silu") else None),
             down=lin(ks[4], I, H, specs.down),
         )
         blocks.append(BlockParams(

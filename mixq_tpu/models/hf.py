@@ -96,6 +96,26 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             rope_style="none" if alibi else "neox",
             **rope_scaling_kw(hf),
         )
+    if mt == "gemma":
+        # gemma quirks vs llama: sqrt(hidden) embed scale, GeGLU MLP
+        # (gelu_pytorch_tanh gate), (1+w) RMSNorm (folded into the weights
+        # at conversion, params_from_source), explicit head_dim, always
+        # tied lm_head
+        return ModelConfig(
+            **{**common, "tie_word_embeddings": True},
+            intermediate_size=hf["intermediate_size"],
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", common["num_attention_heads"]),
+            head_dim=hf.get("head_dim", 256),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            hidden_act=hf.get("hidden_activation",
+                              hf.get("hidden_act", "gelu_pytorch_tanh"))
+            or "gelu_pytorch_tanh",
+            embed_multiplier=float(common["hidden_size"]) ** 0.5,
+            gated_mlp=True,
+            **rope_scaling_kw(hf),
+        )
     if mt == "falcon":
         n_head = common["num_attention_heads"]
         return ModelConfig(
@@ -318,6 +338,7 @@ _SCHEMES["opt"] = dict(
 _SCHEMES["aquila"] = _SCHEMES["llama"]
 _SCHEMES["mistral"] = _SCHEMES["llama"]
 _SCHEMES["qwen2"] = _SCHEMES["llama"]
+_SCHEMES["gemma"] = _SCHEMES["llama"]   # llama naming; always tied lm_head
 
 
 def scheme_for(model_type: str) -> Dict[str, Optional[str]]:
@@ -437,6 +458,14 @@ def params_from_source(
                 return jnp.asarray(np.asarray(src.get(name), np.float32))
         return None
 
+    # gemma stores RMSNorm weights as w but applies (1+w); fold the +1 into
+    # the stored scale so the runtime norm stays uniform
+    norm_off = 1.0 if cfg.model_type == "gemma" else 0.0
+
+    def norm_vec(key_t, i: Optional[int] = None):
+        v = get_vec(key_t, i)
+        return None if v is None else v + norm_off
+
     blocks = []
     for i in range(L):
         wq, wk, wv = _qkv_from_src(src, scheme, i, cfg, specs.wqkv,
@@ -467,10 +496,10 @@ def params_from_source(
                                 osets.get(f"{i}.down"), store_dtype=store_dtype)
 
         blocks.append(BlockParams(
-            ln1_scale=get_vec(scheme["ln1"], i),
+            ln1_scale=norm_vec(scheme["ln1"], i),
             ln1_bias=get_vec(scheme.get("ln1_bias"), i),
             attn=AttnParams(wq=wq, wk=wk, wv=wv, wo=wo),
-            ln2_scale=get_vec(scheme.get("ln2"), i),
+            ln2_scale=norm_vec(scheme.get("ln2"), i),
             ln2_bias=get_vec(scheme.get("ln2_bias"), i),
             mlp=MLPParams(up=up, gate=gate, down=down),
         ))
@@ -492,7 +521,7 @@ def params_from_source(
     return DecoderParams(
         embed=embed,
         blocks=tuple(blocks),
-        lnf_scale=get_vec(scheme["lnf"]),
+        lnf_scale=norm_vec(scheme["lnf"]),
         lnf_bias=get_vec(scheme.get("lnf_bias")),
         lm_head=lm_head,
         pos_embed=pos_embed,

@@ -98,6 +98,25 @@ class TestLlamaFamily:
         with _pt.raises(ValueError, match="rope_scaling"):
             config_from_hf(hf)
 
+    def test_gemma(self):
+        """Gemma: sqrt(hidden) embed scale, (1+w) RMSNorm (folded at
+        conversion), GeGLU MLP, explicit head_dim, tied lm_head."""
+        from transformers import GemmaConfig, GemmaForCausalLM
+
+        cfg = GemmaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=32,
+            max_position_embeddings=128,
+            hidden_activation="gelu_pytorch_tanh",
+        )
+        torch.manual_seed(15)
+        model = GemmaForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(),
+                             tiny_tokens(128, seed=15), atol=4e-3)
+        assert mcfg.embed_multiplier == 8.0 and mcfg.gated_mlp
+        assert mcfg.head_dim_ == 32 and mcfg.tie_word_embeddings
+
     def test_llama_tied_embeddings(self):
         from transformers import LlamaConfig, LlamaForCausalLM
         cfg = LlamaConfig(
