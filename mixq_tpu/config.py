@@ -96,6 +96,11 @@ class ModelConfig:
     parallel_attn_mlp: bool = False    # falcon/gptj-style parallel block
     rope_style: str = "neox"           # "neox" (half-rotate) | "gptj" (interleaved)
     rotary_dim: Optional[int] = None   # partial rotary (gptj/chatglm)
+    # sparse mixture-of-experts (mixtral family): >0 experts makes every
+    # block's MLP a routed top-k MoE (ops/moe.py)
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_capacity_factor: float = 0.0   # <=0: exact (no token drops)
     embed_multiplier: float = 1.0      # gemma scales embeddings by
                                        # sqrt(hidden_size) (rounded to the
                                        # activation dtype, matching HF)

@@ -52,9 +52,12 @@ class AttnParams(NamedTuple):
 
 
 class MLPParams(NamedTuple):
-    up: MixLinearParams            # [H, I]  (fc_in for no-gate archs)
+    up: Optional[MixLinearParams]  # [H, I]  (fc_in for no-gate archs);
+                                   # None for sparse-MoE blocks
     gate: Optional[MixLinearParams]  # [H, I] or None (falcon/gptj/opt)
-    down: MixLinearParams          # [I, H]  (fc_out)
+    down: Optional[MixLinearParams]  # [I, H]  (fc_out)
+    # sparse mixture-of-experts MLP (mixtral) — replaces up/gate/down
+    moe: Optional["object"] = None  # ops.moe.MoEParams
 
 
 class BlockParams(NamedTuple):
@@ -155,6 +158,17 @@ def _mlp(h: jax.Array, mlp: MLPParams, specs: DecoderSpecs, cfg: ModelConfig):
     (MixFalconMLP/MixGPTJMLP, fused/mlp.py:8-33,74-94). The up/gate pair
     shares one quantized activation — the functional equivalent of the
     reference's cache.q_xcache reuse between up_proj and gate_proj."""
+    if mlp.moe is not None:
+        from mixq_tpu.ops.moe import moe_mlp
+
+        out = moe_mlp(h, mlp.moe, specs.up, specs.down,
+                      top_k=cfg.num_experts_per_tok,
+                      capacity_factor=cfg.moe_capacity_factor,
+                      act="silu" if cfg.hidden_act == "silu" else "gelu")
+        # second value feeds calibration stats ("down" input); MoE experts
+        # skip the outlier machinery (ops/moe.py docstring), so report the
+        # MLP input
+        return out, h
     if mlp.gate is not None:
         # gated-MLP activation follows the config: SwiGLU (llama family)
         # or GeGLU (gemma's gelu_pytorch_tanh == tanh-approx gelu)
@@ -687,13 +701,28 @@ def init_decoder_params(
             wv=lin(ks[6], H, n_kv * hd, specs.wqkv),
             wo=lin(ks[1], n_q * hd, H, specs.wo),
         )
-        mlp = MLPParams(
-            up=lin(ks[2], H, I, specs.up),
-            gate=(lin(ks[3], H, I, specs.gate)
-                  if (cfg.gated_mlp if cfg.gated_mlp is not None
-                      else cfg.hidden_act == "silu") else None),
-            down=lin(ks[4], I, H, specs.down),
-        )
+        if cfg.num_local_experts > 0:
+            from mixq_tpu.ops.moe import MoEParams, expert_from_float
+
+            E = cfg.num_local_experts
+            ek = jax.random.split(ks[2], 4)
+            exp = lambda k_, din, dout, spec: expert_from_float(
+                jax.random.normal(k_, (E, din, dout), dtype) * 0.02, spec)
+            mlp = MLPParams(
+                up=None, gate=None, down=None,
+                moe=MoEParams(
+                    router=jax.random.normal(ek[0], (H, E), dtype) * 0.02,
+                    gate=exp(ek[1], H, I, specs.gate),
+                    up=exp(ek[2], H, I, specs.up),
+                    down=exp(ek[3], I, H, specs.down)))
+        else:
+            mlp = MLPParams(
+                up=lin(ks[2], H, I, specs.up),
+                gate=(lin(ks[3], H, I, specs.gate)
+                      if (cfg.gated_mlp if cfg.gated_mlp is not None
+                          else cfg.hidden_act == "silu") else None),
+                down=lin(ks[4], I, H, specs.down),
+            )
         blocks.append(BlockParams(
             ln1_scale=jnp.ones((H,), dtype),
             ln1_bias=jnp.zeros((H,), dtype) if use_ln_bias else None,

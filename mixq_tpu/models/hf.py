@@ -71,6 +71,20 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             }
         raise ValueError(f"unsupported rope_scaling type {rtype!r}")
 
+    if mt == "mixtral":
+        return ModelConfig(
+            **common,
+            intermediate_size=hf["intermediate_size"],
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", common["num_attention_heads"]),
+            head_dim=hf.get("head_dim"),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+            rope_theta=hf.get("rope_theta", 1e6),
+            sliding_window=hf.get("sliding_window"),
+            num_local_experts=hf.get("num_local_experts", 8),
+            num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+            **rope_scaling_kw(hf),
+        )
     if mt in ("llama", "aquila", "baichuan", "mistral", "qwen2"):
         # Baichuan-13B uses ALiBi instead of rotary; the reference selects the
         # eager additive-bias attention by num_hidden_layers==40
@@ -339,6 +353,9 @@ _SCHEMES["aquila"] = _SCHEMES["llama"]
 _SCHEMES["mistral"] = _SCHEMES["llama"]
 _SCHEMES["qwen2"] = _SCHEMES["llama"]
 _SCHEMES["gemma"] = _SCHEMES["llama"]   # llama naming; always tied lm_head
+# mixtral: llama-style attention/norms; the MLP is a sparse MoE read by a
+# dedicated branch in params_from_source (block_sparse_moe.*)
+_SCHEMES["mixtral"] = dict(_SCHEMES["llama"], gate=None, up=None, down=None)
 
 
 def scheme_for(model_type: str) -> Dict[str, Optional[str]]:
@@ -473,6 +490,36 @@ def params_from_source(
         wo = _linear_from_src(src, scheme["o"].format(i=i), specs.wo,
                               osets.get(f"{i}.wo"), store_dtype=store_dtype)
         up_oset = osets.get(f"{i}.up")
+        if cfg.num_local_experts > 0:
+            from mixq_tpu.ops.moe import MoEParams, expert_from_float
+
+            pre = f"model.layers.{i}.block_sparse_moe"
+            router = np.asarray(src.get(pre + ".gate.weight"),
+                                np.float32).T             # [H, E]
+
+            def stack(wn):
+                # per-expert torch Linear [N, K] -> stacked [E, K, N]
+                return jnp.asarray(np.stack([
+                    np.asarray(src.get(f"{pre}.experts.{e}.{wn}.weight"),
+                               np.float32).T
+                    for e in range(cfg.num_local_experts)]))
+
+            blocks.append(BlockParams(
+                ln1_scale=norm_vec(scheme["ln1"], i),
+                ln1_bias=get_vec(scheme.get("ln1_bias"), i),
+                attn=AttnParams(wq=wq, wk=wk, wv=wv, wo=wo),
+                ln2_scale=norm_vec(scheme.get("ln2"), i),
+                ln2_bias=get_vec(scheme.get("ln2_bias"), i),
+                mlp=MLPParams(up=None, gate=None, down=None, moe=MoEParams(
+                    router=jnp.asarray(router, store_dtype),
+                    gate=expert_from_float(stack("w1"), specs.gate,
+                                           store_dtype),
+                    up=expert_from_float(stack("w3"), specs.up,
+                                         store_dtype),
+                    down=expert_from_float(stack("w2"), specs.down,
+                                           store_dtype))),
+            ))
+            continue
         if cfg.model_type == "chatglm":
             # dense_h_to_4h packs [gate; up] along out dim
             w = np.asarray(src.get(scheme["up"].format(i=i) + ".weight"),

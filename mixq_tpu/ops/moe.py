@@ -1,0 +1,142 @@
+"""Sparse mixture-of-experts MLP (Mixtral family) — a capability the
+reference framework does not have at all (its registry is dense-only,
+mixquant/models/auto.py:6-15); built TPU-first:
+
+  - experts live as STACKED tensors [E, K, N] so the whole expert pass is
+    ONE batched dot_general on the MXU (no per-expert Python loop, no
+    ragged shapes);
+  - routing uses static-capacity dispatch/combine einsums (the classic
+    Shazeer formulation): every shape is compile-time constant, so the
+    compiled program never changes as routing decisions change;
+  - expert weights quantize like the dense linears (symmetric per-out-
+    channel int8; activations per-token int8 for the W8A8 path) — the
+    outlier machinery is deliberately NOT applied per expert: routed
+    activations are already magnitude-filtered by the router, and a
+    per-expert outlier budget would multiply the padded fp GEMMs by E.
+
+Capacity semantics: capacity_factor <= 0 (the default) allocates C = S
+slots per expert — EXACT inference (no token ever dropped, any routing
+distribution fits). A positive factor bounds C = ceil(S/E * k * factor)
+for throughput at the cost of dropped (zero-contribution) tokens when
+routing is skewed, which is the standard serving trade.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mixq_tpu.ops import quant as Q
+from mixq_tpu.ops.mixed_linear import LinearSpec
+
+
+class ExpertLinearParams(NamedTuple):
+    """Stacked per-expert linear: q_weight [E, K, N] (int8, or bf16 for
+    FP16 specs), w_scale [E, N] f32 (None for FP16)."""
+
+    q_weight: jax.Array
+    w_scale: Optional[jax.Array]
+
+
+class MoEParams(NamedTuple):
+    router: jax.Array              # [H, E] fp router weights
+    gate: ExpertLinearParams       # [E, H, I] (mixtral w1)
+    up: ExpertLinearParams         # [E, H, I] (mixtral w3)
+    down: ExpertLinearParams       # [E, I, H] (mixtral w2)
+
+
+def expert_from_float(w_ekn: jax.Array, spec: LinearSpec,
+                      store_dtype=jnp.bfloat16) -> ExpertLinearParams:
+    """Quantize stacked expert weights [E, K, N] per (expert, out-channel).
+    int8 for MIX/QUIK/WEIGHT_ONLY specs (w_bit>=8 semantics; int4 storage
+    is a dense-linear feature), bf16 passthrough for FP16."""
+    if spec.version == "FP16":
+        return ExpertLinearParams(w_ekn.astype(store_dtype), None)
+    w = w_ekn.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / 127.0, 1e-8)  # [E, N]
+    q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127)
+    return ExpertLinearParams(q.astype(jnp.int8), scale)
+
+
+def expert_linear(p: ExpertLinearParams, x_eck: jax.Array,
+                  spec: LinearSpec) -> jax.Array:
+    """[E, C, K] x [E, K, N] -> [E, C, N] f32, one batched dot_general.
+
+    W8A8: activations quantize per (expert, slot) row and the int8 bits
+    feed the MXU directly (i8 x i8 -> i32), epilogue x_scale * w_scale.
+    WEIGHT_ONLY: int8 weights widened once, bf16 MXU dot.
+    FP16: bf16 dot."""
+    if p.w_scale is None:                                    # FP16
+        return jax.lax.dot_general(
+            x_eck.astype(p.q_weight.dtype), p.q_weight,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    if spec.version == "WEIGHT_ONLY" or spec.a_bit > 8:
+        w = p.q_weight.astype(jnp.bfloat16) * \
+            p.w_scale[:, None, :].astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            x_eck.astype(jnp.bfloat16), w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    xq, xs = Q.quantize_act_per_token(x_eck)                 # [E,C,K],[E,C,1]
+    acc = jax.lax.dot_general(
+        xq, p.q_weight, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                    # [E, C, N]
+    return acc.astype(jnp.float32) * xs * p.w_scale[:, None, :]
+
+
+def moe_capacity(n_tokens: int, n_experts: int, top_k: int,
+                 factor: float) -> int:
+    """Per-expert slot count. factor <= 0 -> exact (C = n_tokens)."""
+    if factor <= 0:
+        return n_tokens
+    return min(n_tokens,
+               max(top_k, math.ceil(n_tokens * top_k / n_experts * factor)))
+
+
+def moe_mlp(x: jax.Array, p: MoEParams, spec_up: LinearSpec,
+            spec_down: LinearSpec, top_k: int,
+            capacity_factor: float = 0.0,
+            act: str = "silu") -> jax.Array:
+    """Sparse-MoE SwiGLU MLP over [B, T, H] (HF MixtralSparseMoeBlock
+    semantics: softmax over ALL experts, top-k, renormalize)."""
+    B, T, H = x.shape
+    S = B * T
+    E = p.router.shape[1]
+    xs = x.reshape(S, H)
+
+    logits = xs.astype(jnp.float32) @ p.router.astype(jnp.float32)  # [S, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_w, top_e = jax.lax.top_k(probs, top_k)               # [S, k]
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    # static-capacity dispatch: each (token, choice) claims the next free
+    # slot of its expert; slots >= C drop (factor<=0 makes C=S: no drops)
+    C = moe_capacity(S, E, top_k, capacity_factor)
+    sel = jax.nn.one_hot(top_e, E, dtype=jnp.float32)        # [S, k, E]
+    gates = jnp.sum(sel * top_w[..., None], axis=1)          # [S, E]
+    # position of each (token, choice) within its expert's queue — count
+    # earlier tokens (all their choices) plus this token's earlier choices
+    earlier_tokens = jnp.cumsum(jnp.sum(sel, axis=1), axis=0) \
+        - jnp.sum(sel, axis=1)                               # [S, E]
+    earlier_choices = jnp.cumsum(sel, axis=1) - sel          # [S, k, E]
+    pos = earlier_tokens[:, None, :] + earlier_choices       # [S, k, E]
+    keep = sel * (pos < C)
+    slot_oh = jax.nn.one_hot(pos.astype(jnp.int32), C,
+                             dtype=jnp.float32)              # [S, k, E, C]
+    dispatch = jnp.sum(keep[..., None] * slot_oh, axis=1)    # [S, E, C]
+
+    xe = jnp.einsum("sec,sh->ech", dispatch,
+                    xs.astype(jnp.float32)).astype(x.dtype)  # [E, C, H]
+    g = expert_linear(p.gate, xe, spec_up)                   # [E, C, I] f32
+    u = expert_linear(p.up, xe, spec_up)
+    if act == "silu":
+        inner = jax.nn.silu(g) * u
+    else:
+        inner = jax.nn.gelu(g, approximate=True) * u
+    y = expert_linear(p.down, inner.astype(x.dtype), spec_down)  # [E, C, H]
+
+    combine = dispatch * gates[:, :, None]                   # [S, E, C]
+    out = jnp.einsum("sec,ech->sh", combine, y)              # [S, H] f32
+    return out.reshape(B, T, H).astype(x.dtype)

@@ -85,14 +85,33 @@ def _block_pspecs(bp: BlockParams, stacked: bool = False) -> BlockParams:
         ),
         ln2_scale=_maybe(bp.ln2_scale, P(None)),
         ln2_bias=_maybe(bp.ln2_bias, P(None)),
-        mlp=MLPParams(
-            up=linear_pspecs(bp.mlp.up, col_parallel=True, stacked=stacked),
-            gate=(None if bp.mlp.gate is None
-                  else linear_pspecs(bp.mlp.gate, col_parallel=True,
-                                     stacked=stacked)),
-            down=linear_pspecs(bp.mlp.down, col_parallel=False,
-                               stacked=stacked),
-        ),
+        mlp=_mlp_pspecs(bp.mlp, stacked=stacked),
+    )
+
+
+def _mlp_pspecs(mlp: MLPParams, stacked: bool = False) -> MLPParams:
+    if mlp.moe is not None:
+        # EXPERT parallelism: the expert axis splits over the model axis
+        # (each shard holds E/tp experts' full weights; the dispatch/
+        # combine einsums shard on E and GSPMD inserts the token
+        # all-gather + psum). Router is tiny — replicated.
+        from mixq_tpu.ops.moe import ExpertLinearParams, MoEParams
+
+        def ep(p: ExpertLinearParams) -> ExpertLinearParams:
+            qs = P(MODEL_AXIS, None, None)
+            ss = _maybe(p.w_scale, P(MODEL_AXIS, None))
+            return ExpertLinearParams(q_weight=qs, w_scale=ss)
+
+        moe = MoEParams(router=P(None, None), gate=ep(mlp.moe.gate),
+                        up=ep(mlp.moe.up), down=ep(mlp.moe.down))
+        return MLPParams(up=None, gate=None, down=None, moe=moe)
+    return MLPParams(
+        up=linear_pspecs(mlp.up, col_parallel=True, stacked=stacked),
+        gate=(None if mlp.gate is None
+              else linear_pspecs(mlp.gate, col_parallel=True,
+                                 stacked=stacked)),
+        down=linear_pspecs(mlp.down, col_parallel=False,
+                           stacked=stacked),
     )
 
 

@@ -156,6 +156,28 @@ class _CheckpointReader:
         return out
 
 
+def _load_mlp(p: str, model_cfg, get, linear):
+    """Dense MLP or (num_local_experts>0) sparse-MoE leaves."""
+    if model_cfg.num_local_experts > 0:
+        from mixq_tpu.ops.moe import ExpertLinearParams, MoEParams
+
+        def expert(prefix):
+            return ExpertLinearParams(
+                q_weight=get(prefix + ".q_weight"),
+                w_scale=get(prefix + ".w_scale"))
+
+        return MLPParams(up=None, gate=None, down=None, moe=MoEParams(
+            router=get(p + ".mlp.moe.router"),
+            gate=expert(p + ".mlp.moe.gate"),
+            up=expert(p + ".mlp.moe.up"),
+            down=expert(p + ".mlp.moe.down")))
+    return MLPParams(
+        up=linear(p + ".mlp.up"),
+        gate=linear(p + ".mlp.gate", required=False),  # no-gate archs
+        down=linear(p + ".mlp.down"),
+    )
+
+
 def load_checkpoint(
     path: str,
     shardings: Optional[Dict[str, Any]] = None,
@@ -217,11 +239,7 @@ def load_checkpoint(
             ),
             ln2_scale=get(p + ".ln2_scale"),
             ln2_bias=get(p + ".ln2_bias"),
-            mlp=MLPParams(
-                up=linear(p + ".mlp.up"),
-                gate=linear(p + ".mlp.gate", required=False),  # no-gate archs
-                down=linear(p + ".mlp.down"),
-            ),
+            mlp=_load_mlp(p, model_cfg, get, linear),
         ))
 
     embed = get("embed")

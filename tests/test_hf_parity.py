@@ -98,6 +98,27 @@ class TestLlamaFamily:
         with _pt.raises(ValueError, match="rope_scaling"):
             config_from_hf(hf)
 
+    def test_mixtral_moe(self):
+        """Mixtral sparse-MoE: HF end-to-end parity (exact-capacity
+        routing, FP32) — validates router semantics (softmax -> top-k ->
+        renormalize), expert stacking, and the dispatch/combine math on a
+        real checkpoint layout."""
+        from transformers import MixtralConfig, MixtralForCausalLM
+
+        cfg = MixtralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, num_local_experts=4,
+            num_experts_per_tok=2, max_position_embeddings=128,
+            sliding_window=None,
+        )
+        torch.manual_seed(16)
+        model = MixtralForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(),
+                             tiny_tokens(128, seed=16), atol=4e-3)
+        assert mcfg.num_local_experts == 4
+        assert mcfg.num_experts_per_tok == 2
+
     def test_gemma(self):
         """Gemma: sqrt(hidden) embed scale, (1+w) RMSNorm (folded at
         conversion), GeGLU MLP, explicit head_dim, tied lm_head."""
