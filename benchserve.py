@@ -1,0 +1,125 @@
+"""Serving benchmark: continuous-batching throughput + per-request latency
+under randomized arrivals.
+
+The reference has no serving runtime, so it has no serving benchmark; this
+is the CB-engine counterpart of benchflops.py (static-batch decode). A
+synthetic request stream (geometric inter-arrival gaps, randomized prompt
+lengths and budgets) drains through the windowed slot pool; the harness
+reports aggregate generated-token throughput plus per-request queueing and
+completion latencies measured in decode WINDOWS (the engine's scheduling
+quantum — wall-clock per window is also reported, so window counts convert
+to seconds).
+
+Prints ONE JSON line. Env knobs:
+  BENCH_PRESET (tiny|7b, default tiny)  BENCH_SLOTS (default 8)
+  BENCH_REQUESTS (default 32)           BENCH_ARRIVAL_P (default 0.5 —
+      per-window probability a queued request is submitted)
+  BENCH_PROMPT_MAX (default 64)         BENCH_NEW_MAX (default 64)
+  BENCH_SEQ (max_seq, default 256)      BENCH_KV (bfloat16|int8)
+  BENCH_ATTN (auto|flash|xla)           BENCH_WARMUP (1: pre-compile)
+"""
+import json
+import os
+import random
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+import numpy as np
+
+from bench import llama2_7b_cfg, tiny_cfg
+from mixq_tpu.config import EngineConfig
+from mixq_tpu.engine.batching import ContinuousBatchingEngine
+from mixq_tpu.models import DecoderSpecs
+from mixq_tpu.models.decoder import init_decoder_params
+from mixq_tpu.ops.mixed_linear import LinearSpec
+
+
+def main():
+    preset = os.environ.get("BENCH_PRESET", "tiny")
+    n_slots = int(os.environ.get("BENCH_SLOTS", "8"))
+    n_req = int(os.environ.get("BENCH_REQUESTS", "32"))
+    arrival_p = float(os.environ.get("BENCH_ARRIVAL_P", "0.5"))
+    prompt_max = int(os.environ.get("BENCH_PROMPT_MAX", "64"))
+    new_max = int(os.environ.get("BENCH_NEW_MAX", "64"))
+    max_seq = int(os.environ.get("BENCH_SEQ", "256"))
+    kv = os.environ.get("BENCH_KV", "bfloat16")
+    attn = os.environ.get("BENCH_ATTN", "auto")
+    n_layers = int(os.environ.get("BENCH_LAYERS",
+                                  "32" if preset == "7b" else "2"))
+
+    cfg = llama2_7b_cfg(n_layers) if preset == "7b" else tiny_cfg(n_layers)
+    import dataclasses
+
+    specs = dataclasses.replace(
+        DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8)), attn_impl=attn)
+    t0 = time.time()
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
+    eng = ContinuousBatchingEngine(
+        params, cfg, specs,
+        EngineConfig(max_batch_size=n_slots, max_seq_len=max_seq,
+                     prefill_chunk=32, kv_dtype=kv))
+    print(f"init {time.time()-t0:.1f}s slots={n_slots} kv={kv} attn={attn} "
+          f"hm={eng.cache.head_major}", file=sys.stderr)
+    if os.environ.get("BENCH_WARMUP", "0") == "1":
+        t0 = time.time()
+        n = eng.warmup()
+        print(f"warmup: {n} programs, {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    rng = random.Random(0)
+    pending = [([rng.randrange(1, cfg.vocab_size) for _ in
+                 range(rng.randint(1, prompt_max))],
+                rng.randint(1, new_max)) for _ in range(n_req)]
+    submit_w = {}
+    done_w = {}
+    budgets = {}
+    window = 0
+    total_tokens = 0
+    t_start = time.time()
+    compile_windows = 0
+
+    while pending or eng.has_work:
+        if pending and (not eng.has_work or rng.random() < arrival_p):
+            p, b = pending.pop(0)
+            rid = eng.add_request(p, b)
+            submit_w[rid] = window
+            budgets[rid] = b
+        t_w = time.time()
+        eng.step_window()
+        if time.time() - t_w > 5.0:     # compile window: exclude from rates
+            compile_windows += 1
+        window += 1
+        for rid, toks in eng.finished().items():
+            done_w[rid] = window
+            total_tokens += len(toks)
+        if window > 200000:
+            raise RuntimeError("serve bench did not drain")
+    wall = time.time() - t_start
+
+    waits = [done_w[r] - submit_w[r] for r in done_w]
+    ms_per_window = 1000.0 * wall / max(window, 1)
+    out = {
+        "metric": "cb_serving_throughput",
+        "value": round(total_tokens / wall, 1),
+        "unit": "tokens/s",
+        "requests": len(done_w),
+        "windows": window,
+        "ms_per_window": round(ms_per_window, 2),
+        "window_R": int(eng.cache.k_tail.shape[1])
+        if eng.cache.k_tail is not None else 8,
+        "wait_windows_p50": float(np.percentile(waits, 50)),
+        "wait_windows_p95": float(np.percentile(waits, 95)),
+        "compile_windows": compile_windows,
+        "slots": n_slots, "kv": kv, "attn": attn, "preset": preset,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,4 +38,9 @@ echo "=== 4. in-model probe: flash vs xla at 1-layer 7B ==="
 timeout 1200 env PROBE_CONFIGS=flash:128:int8,xla_int8:128:int8,xla:128:bfloat16 \
   python examples/decode_probe.py || echo "probe failed (non-fatal)"
 
-echo "=== done; artifacts: BENCH_MATRIX.jsonl MICROBENCH_*.jsonl LATENCY_r02.csv ==="
+echo "=== 5. serving throughput (CB pool, 7B) ==="
+timeout 1800 env BENCH_PRESET=7b BENCH_SLOTS=64 BENCH_REQUESTS=128 \
+  BENCH_PROMPT_MAX=128 BENCH_NEW_MAX=128 BENCH_SEQ=256 BENCH_KV=int8 \
+  BENCH_WARMUP=1 python benchserve.py | tee SERVE_r02.json
+
+echo "=== done; artifacts: BENCH_MATRIX.jsonl MICROBENCH_*.jsonl LATENCY_r02.csv SERVE_r02.json ==="
