@@ -112,23 +112,33 @@ def moe_mlp(x: jax.Array, p: MoEParams, spec_up: LinearSpec,
     top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
 
     # static-capacity dispatch: each (token, choice) claims the next free
-    # slot of its expert; slots >= C drop (factor<=0 makes C=S: no drops)
+    # slot of its expert; slots >= C drop (factor<=0 makes C=S: no drops).
+    # Index-based (scatter tokens in, gather results out) — the classic
+    # one-hot dispatch/combine einsums cost O(S*k*E*C) memory (GBs at
+    # prefill scale); the index form is O(E*C + S*k*H).
     C = moe_capacity(S, E, top_k, capacity_factor)
-    sel = jax.nn.one_hot(top_e, E, dtype=jnp.float32)        # [S, k, E]
-    gates = jnp.sum(sel * top_w[..., None], axis=1)          # [S, E]
+    sel = jax.nn.one_hot(top_e, E, dtype=jnp.int32)          # [S, k, E]
     # position of each (token, choice) within its expert's queue — count
     # earlier tokens (all their choices) plus this token's earlier choices
     earlier_tokens = jnp.cumsum(jnp.sum(sel, axis=1), axis=0) \
         - jnp.sum(sel, axis=1)                               # [S, E]
     earlier_choices = jnp.cumsum(sel, axis=1) - sel          # [S, k, E]
-    pos = earlier_tokens[:, None, :] + earlier_choices       # [S, k, E]
-    keep = sel * (pos < C)
-    slot_oh = jax.nn.one_hot(pos.astype(jnp.int32), C,
-                             dtype=jnp.float32)              # [S, k, E, C]
-    dispatch = jnp.sum(keep[..., None] * slot_oh, axis=1)    # [S, E, C]
+    pos = jnp.sum((earlier_tokens[:, None, :] + earlier_choices) * sel,
+                  axis=2)                                    # [S, k]
+    valid = pos < C
 
-    xe = jnp.einsum("sec,sh->ech", dispatch,
-                    xs.astype(jnp.float32)).astype(x.dtype)  # [E, C, H]
+    # scatter: tok_of[e, c] = which token sits in expert e's slot c
+    # (slot positions are unique per expert, so no write collides;
+    # over-capacity and unused slots stay at the sentinel and zero out)
+    tok_of = jnp.full((E, C), S, jnp.int32)
+    tok_src = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None],
+                               (S, top_k))
+    e_idx = jnp.where(valid, top_e, E)          # invalid -> dropped row
+    c_idx = jnp.where(valid, pos, C)
+    tok_of = tok_of.at[e_idx, c_idx].set(tok_src, mode="drop")
+    xe = jnp.concatenate([xs, jnp.zeros((1, H), xs.dtype)], axis=0)[
+        tok_of]                                              # [E, C, H]
+
     g = expert_linear(p.gate, xe, spec_up)                   # [E, C, I] f32
     u = expert_linear(p.up, xe, spec_up)
     if act == "silu":
@@ -137,6 +147,8 @@ def moe_mlp(x: jax.Array, p: MoEParams, spec_up: LinearSpec,
         inner = jax.nn.gelu(g, approximate=True) * u
     y = expert_linear(p.down, inner.astype(x.dtype), spec_down)  # [E, C, H]
 
-    combine = dispatch * gates[:, :, None]                   # [S, E, C]
-    out = jnp.einsum("sec,ech->sh", combine, y)              # [S, H] f32
+    # gather each (token, choice)'s result back and weight it
+    y_sk = y[jnp.where(valid, top_e, 0), jnp.where(valid, pos, 0)]  # [S,k,H]
+    w_sk = jnp.where(valid, top_w, 0.0)[..., None]
+    out = jnp.sum(w_sk * y_sk, axis=1)                       # [S, H] f32
     return out.reshape(B, T, H).astype(x.dtype)
