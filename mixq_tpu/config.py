@@ -96,6 +96,8 @@ class ModelConfig:
     parallel_attn_mlp: bool = False    # falcon/gptj-style parallel block
     rope_style: str = "neox"           # "neox" (half-rotate) | "gptj" (interleaved)
     rotary_dim: Optional[int] = None   # partial rotary (gptj/chatglm)
+    qk_norm: bool = False              # per-head RMSNorm on q/k before RoPE
+                                       # (qwen3)
     # sparse mixture-of-experts (mixtral family): >0 experts makes every
     # block's MLP a routed top-k MoE (ops/moe.py)
     num_local_experts: int = 0

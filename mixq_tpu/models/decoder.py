@@ -49,6 +49,9 @@ class AttnParams(NamedTuple):
     wk: MixLinearParams            # [H, nkv*hd]
     wv: MixLinearParams            # [H, nkv*hd]
     wo: MixLinearParams            # [nq*hd, H]
+    # QK-Norm (qwen3): per-head RMSNorm scales [hd] applied before RoPE
+    q_norm: Optional[jax.Array] = None
+    k_norm: Optional[jax.Array] = None
 
 
 class MLPParams(NamedTuple):
@@ -231,6 +234,12 @@ def block_core(
     q = q.reshape(B, T, n_q, hd)
     k = k.reshape(B, T, n_kv, hd)
     v = v.reshape(B, T, n_kv, hd)
+    if bp.attn.q_norm is not None:
+        # QK-Norm (qwen3): per-head RMSNorm over head_dim before RoPE
+        from mixq_tpu.models.layers import rmsnorm
+
+        q = rmsnorm(q, bp.attn.q_norm, eps=cfg.rms_norm_eps)
+        k = rmsnorm(k, bp.attn.k_norm, eps=cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rotary_dim)
     k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rotary_dim)
 
@@ -700,6 +709,8 @@ def init_decoder_params(
             wk=lin(ks[5], H, n_kv * hd, specs.wqkv),
             wv=lin(ks[6], H, n_kv * hd, specs.wqkv),
             wo=lin(ks[1], n_q * hd, H, specs.wo),
+            q_norm=jnp.ones((hd,), dtype) if cfg.qk_norm else None,
+            k_norm=jnp.ones((hd,), dtype) if cfg.qk_norm else None,
         )
         if cfg.num_local_experts > 0:
             from mixq_tpu.ops.moe import MoEParams, expert_from_float

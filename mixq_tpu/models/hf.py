@@ -71,6 +71,21 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             }
         raise ValueError(f"unsupported rope_scaling type {rtype!r}")
 
+    if mt == "qwen3":
+        return ModelConfig(
+            **common,
+            intermediate_size=hf["intermediate_size"],
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", common["num_attention_heads"]),
+            head_dim=hf.get("head_dim"),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            rope_theta=hf.get("rope_theta", 1e6),
+            attention_bias=hf.get("attention_bias", False),
+            sliding_window=(hf.get("sliding_window")
+                            if hf.get("use_sliding_window", False) else None),
+            qk_norm=True,
+            **rope_scaling_kw(hf),
+        )
     if mt == "mixtral":
         return ModelConfig(
             **common,
@@ -352,6 +367,11 @@ _SCHEMES["opt"] = dict(
 _SCHEMES["aquila"] = _SCHEMES["llama"]
 _SCHEMES["mistral"] = _SCHEMES["llama"]
 _SCHEMES["qwen2"] = _SCHEMES["llama"]
+_SCHEMES["qwen3"] = dict(
+    _SCHEMES["llama"],
+    q_norm="model.layers.{i}.self_attn.q_norm.weight",
+    k_norm="model.layers.{i}.self_attn.k_norm.weight",
+)
 _SCHEMES["gemma"] = _SCHEMES["llama"]   # llama naming; always tied lm_head
 # mixtral: llama-style attention/norms; the MLP is a sparse MoE read by a
 # dedicated branch in params_from_source (block_sparse_moe.*)
@@ -545,7 +565,9 @@ def params_from_source(
         blocks.append(BlockParams(
             ln1_scale=norm_vec(scheme["ln1"], i),
             ln1_bias=get_vec(scheme.get("ln1_bias"), i),
-            attn=AttnParams(wq=wq, wk=wk, wv=wv, wo=wo),
+            attn=AttnParams(wq=wq, wk=wk, wv=wv, wo=wo,
+                            q_norm=get_vec(scheme.get("q_norm"), i),
+                            k_norm=get_vec(scheme.get("k_norm"), i)),
             ln2_scale=norm_vec(scheme.get("ln2"), i),
             ln2_bias=get_vec(scheme.get("ln2_bias"), i),
             mlp=MLPParams(up=up, gate=gate, down=down),

@@ -82,6 +82,8 @@ def _block_pspecs(bp: BlockParams, stacked: bool = False) -> BlockParams:
             wk=linear_pspecs(bp.attn.wk, col_parallel=True, stacked=stacked),
             wv=linear_pspecs(bp.attn.wv, col_parallel=True, stacked=stacked),
             wo=linear_pspecs(bp.attn.wo, col_parallel=False, stacked=stacked),
+            q_norm=_maybe(bp.attn.q_norm, P(None)),   # [hd] replicated
+            k_norm=_maybe(bp.attn.k_norm, P(None)),
         ),
         ln2_scale=_maybe(bp.ln2_scale, P(None)),
         ln2_bias=_maybe(bp.ln2_bias, P(None)),

@@ -236,6 +236,8 @@ def load_checkpoint(
                 wk=linear(p + ".attn.wk"),
                 wv=linear(p + ".attn.wv"),
                 wo=linear(p + ".attn.wo"),
+                q_norm=get(p + ".attn.q_norm"),
+                k_norm=get(p + ".attn.k_norm"),
             ),
             ln2_scale=get(p + ".ln2_scale"),
             ln2_bias=get(p + ".ln2_bias"),

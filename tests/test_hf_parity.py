@@ -98,6 +98,22 @@ class TestLlamaFamily:
         with _pt.raises(ValueError, match="rope_scaling"):
             config_from_hf(hf)
 
+    def test_qwen3_qk_norm(self):
+        """Qwen3: per-head RMSNorm on q/k before RoPE (QK-Norm), explicit
+        head_dim, no attention bias."""
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+
+        cfg = Qwen3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=32,
+            max_position_embeddings=128,
+        )
+        torch.manual_seed(17)
+        model = Qwen3ForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=17))
+        assert mcfg.qk_norm and mcfg.head_dim_ == 32
+
     def test_mixtral_moe(self):
         """Mixtral sparse-MoE: HF end-to-end parity (exact-capacity
         routing, FP32) — validates router semantics (softmax -> top-k ->
