@@ -48,7 +48,10 @@ def test_two_process_mesh_matches_single_process(tmp_path):
             text=True)
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    # generous: the two workers must ALSO rendezvous through
+    # jax.distributed, which times out under heavy machine contention
+    # (observed flaking when the full suite runs alongside other jobs)
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
