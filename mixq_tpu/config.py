@@ -98,6 +98,16 @@ class ModelConfig:
     rotary_dim: Optional[int] = None   # partial rotary (gptj/chatglm)
     qk_norm: bool = False              # per-head RMSNorm on q/k before RoPE
                                        # (qwen3)
+    # gemma2 block/attention quirks
+    post_norms: bool = False           # extra norms on attn/mlp OUTPUTS
+                                       # before the residual adds
+    query_pre_attn_scalar: Optional[float] = None  # score scale =
+                                       # this^-0.5 instead of head_dim^-0.5
+    attn_logit_softcap: Optional[float] = None     # tanh softcap on scores
+    final_logit_softcap: Optional[float] = None    # tanh softcap on logits
+    sliding_window_pattern: int = 1    # window applies to layers with
+                                       # i % pattern == 0 (gemma2: 2 —
+                                       # alternating local/global)
     # sparse mixture-of-experts (mixtral family): >0 experts makes every
     # block's MLP a routed top-k MoE (ops/moe.py)
     num_local_experts: int = 0

@@ -70,6 +70,11 @@ class BlockParams(NamedTuple):
     ln2_scale: Optional[jax.Array]  # None for parallel-block archs
     ln2_bias: Optional[jax.Array]
     mlp: MLPParams
+    # gemma2 post-norms: applied to the attn/mlp OUTPUT before its
+    # residual add (HF post_attention_layernorm has PRE-residual semantics
+    # there, unlike llama's pre-MLP one)
+    post_attn_norm_scale: Optional[jax.Array] = None
+    post_ffw_norm_scale: Optional[jax.Array] = None
 
 
 class DecoderParams(NamedTuple):
@@ -247,6 +252,8 @@ def block_core(
     # o_proj quantizes its own input inline (the reference's unfused=True
     # call, attn.py:263 -> linear.py:187-195)
     attn_out = mixed_linear(bp.attn.wo, attn_raw, specs.wo)
+    if bp.post_attn_norm_scale is not None:   # gemma2 pre-residual norm
+        attn_out = _norm(attn_out, bp.post_attn_norm_scale, None, cfg)
 
     if cfg.parallel_attn_mlp:
         # falcon new-decoder arch has a separate mlp norm (ln_mlp -> ln2);
@@ -259,6 +266,8 @@ def block_core(
         x = x + attn_out.astype(x.dtype)
         mlp_in = _norm(x, bp.ln2_scale, bp.ln2_bias, cfg)
         mlp_out, inner = _mlp(mlp_in, bp.mlp, specs, cfg)
+        if bp.post_ffw_norm_scale is not None:
+            mlp_out = _norm(mlp_out, bp.post_ffw_norm_scale, None, cfg)
         out = x + mlp_out.astype(x.dtype)
 
     stats = {}
@@ -360,7 +369,10 @@ def forward(
     # Head-major (flash) caches keep linear positions instead and window
     # via the kernel's per-row start offset — full-length cache, no
     # reclaim (the memory-for-speed trade of the flash opt-in).
-    ring = cfg.sliding_window is not None and not cache.head_major
+    # alternating-window models (gemma2) can't reclaim: global layers
+    # need the full history
+    ring = (cfg.sliding_window is not None and not cache.head_major
+            and cfg.sliding_window_pattern == 1)
     if ring and T > 1 and cache.max_seq < cfg.sliding_window + T:
         # a prefill chunk that straddles the wrap point would overwrite
         # positions still inside an in-chunk query's window
@@ -378,6 +390,30 @@ def forward(
         alibi = alibi / jnp.sqrt(jnp.float32(cfg.head_dim_))
 
     head_major = cache.head_major
+    if head_major and (cfg.attn_logit_softcap is not None
+                       or cfg.query_pre_attn_scalar is not None
+                       or cfg.sliding_window_pattern != 1):
+        raise NotImplementedError(
+            "head-major (flash) KV cache does not support gemma2-style "
+            "attention (softcap / custom scale / alternating windows) — "
+            "create the cache with head_major=False")
+    # gemma2 attention variations (all None/default elsewhere)
+    attn_scale = (cfg.query_pre_attn_scalar ** -0.5
+                  if cfg.query_pre_attn_scalar is not None else None)
+    attn_softcap = cfg.attn_logit_softcap
+
+    def layer_window(i):
+        """Per-layer sliding window: gemma2 alternates local/global
+        (window on layers with i % pattern == 0). The traced scan-path
+        index is fine — the window only feeds masks, never shapes; a
+        huge window == global attention."""
+        if cfg.sliding_window is None:
+            return None
+        if cfg.sliding_window_pattern == 1:
+            return cfg.sliding_window
+        return jnp.where(i % cfg.sliding_window_pattern == 0,
+                         cfg.sliding_window, 1 << 30)
+
     use_tail = cache.k_tail is not None
     if (use_tail and cfg.sliding_window is not None
             and cfg.sliding_window <= cache.k_tail.shape[1]):
@@ -420,7 +456,7 @@ def forward(
     )
 
     def attend_over(q, k_c, v_c, ks_c, vs_c, k_new=None, v_new=None,
-                    full=None):
+                    full=None, win=cfg.sliding_window):
         if use_ring_prefill and k_new is not None:
             # sequence-parallel prefill: attention over the fresh chunk only
             # (== attention over the cache when the cache was empty)
@@ -481,14 +517,15 @@ def forward(
 
             return attend_chunked(
                 q, k_c, v_c, q_slot, kv_len,
-                kv_start=kv_start, sliding_window=cfg.sliding_window,
-                k_scale=ks_c, v_scale=vs_c, alibi=alibi, ring=ring)
+                kv_start=kv_start, sliding_window=win,
+                k_scale=ks_c, v_scale=vs_c, alibi=alibi,
+                scale=attn_scale, softcap=attn_softcap, ring=ring)
         return attend(
             q, k_c, v_c, q_slot, kv_len,
-            kv_start=kv_start, sliding_window=cfg.sliding_window,
+            kv_start=kv_start, sliding_window=win,
             k_scale=ks_c, v_scale=vs_c,
             int8_compute=specs.attn_impl == "xla_int8", alibi=alibi,
-            ring=ring)
+            scale=attn_scale, softcap=attn_softcap, ring=ring)
 
     if params.stacked is not None:
         # scan over layers: one compiled block body (L-times smaller XLA
@@ -534,7 +571,8 @@ def forward(
                               vs_all if quantized_kv else None, i,
                               kt_all, vt_all,
                               kts_all if quantized_kv else None,
-                              vts_all if quantized_kv else None))
+                              vts_all if quantized_kv else None),
+                        win=layer_window(i))
                 k_c = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
                 v_c = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
                 write_pos = cache.length % cache.max_seq if ring else cache.length
@@ -612,7 +650,8 @@ def forward(
                     full=(k_all, v_all,
                           ks_all if quantized_kv else None,
                           vs_all if quantized_kv else None, i,
-                          None, None, None, None))
+                          None, None, None, None),
+                    win=layer_window(i))
 
             h, stats = block_core(
                 h, bp, kv_apply, cos, sin, specs, cfg, collect_stats)
@@ -659,7 +698,8 @@ def forward(
                     q, k_c, v_c, ks_c, vs_c, k, v,
                     full=(cache.k, cache.v, cache.k_scale, cache.v_scale, i,
                           cache.k_tail, cache.v_tail,
-                          cache.kt_scale, cache.vt_scale))
+                          cache.kt_scale, cache.vt_scale),
+                    win=layer_window(i))
 
             x, stats = block_core(
                 x, bp, kv_apply, cos, sin, specs, cfg, collect_stats)
@@ -676,6 +716,9 @@ def forward(
         x.astype(hdt), head.astype(hdt),
         preferred_element_type=jnp.float32,
     )
+    if cfg.final_logit_softcap is not None:    # gemma2
+        cap = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
     if collect_stats:
         return logits, cache, all_stats
     return logits, cache
@@ -742,6 +785,10 @@ def init_decoder_params(
             ln2_bias=(jnp.zeros((H,), dtype)
                       if use_ln_bias and not cfg.parallel_attn_mlp else None),
             mlp=mlp,
+            post_attn_norm_scale=(jnp.ones((H,), dtype)
+                                  if cfg.post_norms else None),
+            post_ffw_norm_scale=(jnp.ones((H,), dtype)
+                                 if cfg.post_norms else None),
         ))
     embed = jax.random.normal(keys[-2], (V, H), dtype) * 0.02
     lm_head = (None if cfg.tie_word_embeddings

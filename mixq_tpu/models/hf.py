@@ -125,6 +125,28 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             rope_style="none" if alibi else "neox",
             **rope_scaling_kw(hf),
         )
+    if mt == "gemma2":
+        return ModelConfig(
+            **{**common, "tie_word_embeddings": True},
+            intermediate_size=hf["intermediate_size"],
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", common["num_attention_heads"]),
+            head_dim=hf.get("head_dim", 256),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            hidden_act=hf.get("hidden_activation",
+                              "gelu_pytorch_tanh") or "gelu_pytorch_tanh",
+            embed_multiplier=float(common["hidden_size"]) ** 0.5,
+            gated_mlp=True,
+            post_norms=True,
+            query_pre_attn_scalar=float(
+                hf.get("query_pre_attn_scalar", 256)),
+            attn_logit_softcap=hf.get("attn_logit_softcapping"),
+            final_logit_softcap=hf.get("final_logit_softcapping"),
+            sliding_window=hf.get("sliding_window", 4096),
+            sliding_window_pattern=2,   # even layers local, odd global
+            **rope_scaling_kw(hf),
+        )
     if mt == "gemma":
         # gemma quirks vs llama: sqrt(hidden) embed scale, GeGLU MLP
         # (gelu_pytorch_tanh gate), (1+w) RMSNorm (folded into the weights
@@ -373,6 +395,14 @@ _SCHEMES["qwen3"] = dict(
     k_norm="model.layers.{i}.self_attn.k_norm.weight",
 )
 _SCHEMES["gemma"] = _SCHEMES["llama"]   # llama naming; always tied lm_head
+_SCHEMES["gemma2"] = dict(
+    _SCHEMES["llama"],
+    # gemma2 block has FOUR norms; HF's post_attention_layernorm is a
+    # POST-attn (pre-residual) norm there, unlike llama's pre-MLP one
+    ln2="model.layers.{i}.pre_feedforward_layernorm.weight",
+    post_attn="model.layers.{i}.post_attention_layernorm.weight",
+    post_ffw="model.layers.{i}.post_feedforward_layernorm.weight",
+)
 # mixtral: llama-style attention/norms; the MLP is a sparse MoE read by a
 # dedicated branch in params_from_source (block_sparse_moe.*)
 _SCHEMES["mixtral"] = dict(_SCHEMES["llama"], gate=None, up=None, down=None)
@@ -497,7 +527,7 @@ def params_from_source(
 
     # gemma stores RMSNorm weights as w but applies (1+w); fold the +1 into
     # the stored scale so the runtime norm stays uniform
-    norm_off = 1.0 if cfg.model_type == "gemma" else 0.0
+    norm_off = 1.0 if cfg.model_type in ("gemma", "gemma2") else 0.0
 
     def norm_vec(key_t, i: Optional[int] = None):
         v = get_vec(key_t, i)
@@ -571,6 +601,8 @@ def params_from_source(
             ln2_scale=norm_vec(scheme.get("ln2"), i),
             ln2_bias=get_vec(scheme.get("ln2_bias"), i),
             mlp=MLPParams(up=up, gate=gate, down=down),
+            post_attn_norm_scale=norm_vec(scheme.get("post_attn"), i),
+            post_ffw_norm_scale=norm_vec(scheme.get("post_ffw"), i),
         ))
 
     embed = jnp.asarray(np.asarray(src.get(scheme["embed"]), np.float32),

@@ -555,6 +555,8 @@ def attend_chunked(
     v_scale: Optional[jax.Array] = None,
     chunk: int = 256,
     alibi: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    softcap: Optional[float] = None,
     ring: bool = False,
 ) -> jax.Array:
     """Query-chunked attention for long prefill: identical math to attend(),
@@ -566,7 +568,7 @@ def attend_chunked(
     if T % chunk != 0 or q_slot.ndim != 1:
         return attend(q, k, v, q_slot, kv_valid_len, kv_start,
                       sliding_window, k_scale, v_scale, alibi=alibi,
-                      ring=ring)
+                      scale=scale, softcap=softcap, ring=ring)
     n_chunks = T // chunk
     q_c = q.reshape(B, n_chunks, chunk, n_q, D)
     slot_c = q_slot.reshape(n_chunks, chunk)
@@ -575,7 +577,7 @@ def attend_chunked(
         q_i, slot_i = args
         return attend(q_i, k, v, slot_i, kv_valid_len, kv_start,
                       sliding_window, k_scale, v_scale, alibi=alibi,
-                      ring=ring)
+                      scale=scale, softcap=softcap, ring=ring)
 
     out = jax.lax.map(one, (jnp.moveaxis(q_c, 1, 0), slot_c))
     return jnp.moveaxis(out, 0, 1).reshape(B, T, n_q, D)
@@ -601,6 +603,10 @@ def attend(
                                # (relative form — shift-invariant under
                                # softmax, so left-padding needs no special
                                # casing). Replaces rotary (Baichuan-13B).
+    scale: Optional[float] = None,  # score scale; default 1/sqrt(head_dim)
+                               # (gemma2 uses query_pre_attn_scalar^-0.5)
+    softcap: Optional[float] = None,  # gemma2 attn_logit_softcapping:
+                               # scores = tanh(scores/cap) * cap
     ring: bool = False,        # ring-buffer KV (sliding-window reclaim):
                                # slot s holds absolute position
                                # s + S*floor((len-1-s)/S); masks are computed
@@ -618,7 +624,8 @@ def attend(
     B, T, n_q, D = q.shape
     S, n_kv = k.shape[1], k.shape[2]
     groups = n_q // n_kv
-    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+    if scale is None:
+        scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
 
     # Operands stay in their storage dtype (int8 KV / bf16) with f32 MXU
     # accumulation — converting the KV buffers to f32 would quadruple the
@@ -652,6 +659,8 @@ def attend(
     if k_scale is not None:
         scores = scores * jnp.transpose(
             k_scale, (0, 2, 1))[:, :, None, None, :]         # [B,h,1,1,S]
+    if softcap is not None:
+        scores = jnp.tanh(scores / softcap) * softcap
 
     # q_slot may be [T] (uniform batch) or [B, T] (per-slot positions for
     # continuous batching); kv_valid_len may be scalar or [B]

@@ -627,6 +627,10 @@ def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
     if ((model_cfg.sliding_window is not None or model_cfg.alibi)
             and attn_impl != "flash"):
         return False
+    if (model_cfg.attn_logit_softcap is not None
+            or model_cfg.query_pre_attn_scalar is not None
+            or model_cfg.sliding_window_pattern != 1):
+        return False      # gemma2-style attention: kernel support pending
     import jax as _jax
 
     on_tpu = _jax.default_backend() == "tpu"

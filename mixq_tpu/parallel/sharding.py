@@ -88,6 +88,8 @@ def _block_pspecs(bp: BlockParams, stacked: bool = False) -> BlockParams:
         ln2_scale=_maybe(bp.ln2_scale, P(None)),
         ln2_bias=_maybe(bp.ln2_bias, P(None)),
         mlp=_mlp_pspecs(bp.mlp, stacked=stacked),
+        post_attn_norm_scale=_maybe(bp.post_attn_norm_scale, P(None)),
+        post_ffw_norm_scale=_maybe(bp.post_ffw_norm_scale, P(None)),
     )
 
 

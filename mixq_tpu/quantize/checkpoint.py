@@ -242,6 +242,8 @@ def load_checkpoint(
             ln2_scale=get(p + ".ln2_scale"),
             ln2_bias=get(p + ".ln2_bias"),
             mlp=_load_mlp(p, model_cfg, get, linear),
+            post_attn_norm_scale=get(p + ".post_attn_norm_scale"),
+            post_ffw_norm_scale=get(p + ".post_ffw_norm_scale"),
         ))
 
     embed = get("embed")

@@ -98,6 +98,31 @@ class TestLlamaFamily:
         with _pt.raises(ValueError, match="rope_scaling"):
             config_from_hf(hf)
 
+    def test_gemma2(self):
+        """Gemma-2: 4-norm blocks (post-attn/post-ffw pre-residual norms),
+        attention + final logit softcapping, query_pre_attn_scalar score
+        scale, ALTERNATING local/global layers (window exercised: T >
+        sliding_window), plus the gemma quirks (embed scale, GeGLU,
+        (1+w) norms, tied head)."""
+        from transformers import Gemma2Config, Gemma2ForCausalLM
+
+        cfg = Gemma2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=32,
+            max_position_embeddings=64, sliding_window=4,
+            query_pre_attn_scalar=24.0, attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+            hidden_activation="gelu_pytorch_tanh",
+        )
+        torch.manual_seed(18)
+        model = Gemma2ForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(),
+                             tiny_tokens(128, T=9, seed=18), atol=5e-3)
+        assert mcfg.post_norms and mcfg.sliding_window_pattern == 2
+        assert mcfg.attn_logit_softcap == 50.0
+        assert mcfg.final_logit_softcap == 30.0
+
     def test_qwen3_qk_norm(self):
         """Qwen3: per-head RMSNorm on q/k before RoPE (QK-Norm), explicit
         head_dim, no attention bias."""
