@@ -89,9 +89,20 @@ def main():
         line = line.strip()
         if not line:
             continue
-        req = json.loads(line)
-        ids = (req["prompt_ids"] if "prompt_ids" in req
-               else tok(req["prompt"]).input_ids)
+        try:
+            req = json.loads(line)
+            if "prompt_ids" in req:
+                ids = req["prompt_ids"]
+            elif tok is not None:
+                ids = tok(req["prompt"]).input_ids
+            else:
+                raise ValueError(
+                    "text prompt but no tokenizer loaded; send prompt_ids")
+        except Exception as e:
+            # reject the one bad request; in-flight completions keep going
+            print(json.dumps({"error": f"{type(e).__name__}: {e}",
+                              "request": line[:200]}), file=out, flush=True)
+            continue
         sp = None
         if any(k in req for k in ("temperature", "top_k", "top_p")):
             sp = SamplingParams(temperature=req.get("temperature", 0.0),

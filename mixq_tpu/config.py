@@ -112,7 +112,14 @@ class ModelConfig:
     # block's MLP a routed top-k MoE (ops/moe.py)
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
-    moe_capacity_factor: float = 0.0   # <=0: exact (no token drops)
+    moe_capacity_factor: float = 0.0   # <=0: exact (no token drops) —
+                                       # correctness-first: every expert
+                                       # allocates S slots, costing E x
+                                       # dense-MLP FLOPs at prefill.
+                                       # Serving configs should set ~1.25-2
+                                       # (top-k-proportional slots, skewed
+                                       # routing drops tokens — the
+                                       # standard MoE serving trade)
     embed_multiplier: float = 1.0      # gemma scales embeddings by
                                        # sqrt(hidden_size) (rounded to the
                                        # activation dtype, matching HF)

@@ -203,15 +203,30 @@ class ContinuousBatchingEngine:
         import math
 
         if prompt_buckets is None:
-            prompt_buckets = range(self.ecfg.prefill_chunk,
-                                   self.max_seq + 1,
-                                   self.ecfg.prefill_chunk)
+            prompt_buckets = list(range(self.ecfg.prefill_chunk,
+                                        self.max_seq + 1,
+                                        self.ecfg.prefill_chunk))
+            if prompt_buckets[-1] != self.max_seq:
+                # _admit_many clamps Tp to max_seq, so that bucket is
+                # reachable even when it's not a chunk multiple
+                prompt_buckets.append(self.max_seq)
         if group_sizes is None:
             group_sizes = [1 << i for i in
                            range(math.ceil(math.log2(self.n_slots)) + 1)
                            ] if self.n_slots > 1 else [1]
         n = 0
-        aval = jax.ShapeDtypeStruct
+
+        def aval(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype)
+
+        def cache_aval(x):
+            # meshed pools serve a COMMITTED sharded cache; lowering with
+            # sharding-free avals would compile executables the serving
+            # path never hits
+            if self.mesh is not None:
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
         for Tp in prompt_buckets:
             for k in group_sizes:
                 small = KVCache.create(
@@ -225,13 +240,11 @@ class ContinuousBatchingEngine:
                     self.params, aval((k, Tp), jnp.int32),
                     small_avals).compile()
                 self._insert.lower(
-                    jax.tree.map(lambda x: aval(x.shape, x.dtype),
-                                 self.cache),
+                    jax.tree.map(cache_aval, self.cache),
                     small_avals, aval((k,), jnp.int32),
                     aval((k,), jnp.int32)).compile()
                 n += 2
-        cache_avals = jax.tree.map(lambda x: aval(x.shape, x.dtype),
-                                   self.cache)
+        cache_avals = jax.tree.map(cache_aval, self.cache)
         self._decode.lower(
             self.params, aval((self.n_slots, 1), jnp.int32), cache_avals,
             aval((self.n_slots,), jnp.int32)).compile()

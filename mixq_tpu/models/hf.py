@@ -160,9 +160,11 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             head_dim=hf.get("head_dim", 256),
             rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
             rope_theta=hf.get("rope_theta", 10000.0),
-            hidden_act=hf.get("hidden_activation",
-                              hf.get("hidden_act", "gelu_pytorch_tanh"))
-            or "gelu_pytorch_tanh",
+            # installed transformers' GemmaMLP reads config.hidden_act
+            # (hidden_activation is the deprecated alias) — match that
+            # preference order
+            hidden_act=hf.get("hidden_act")
+            or hf.get("hidden_activation") or "gelu_pytorch_tanh",
             embed_multiplier=float(common["hidden_size"]) ** 0.5,
             gated_mlp=True,
             **rope_scaling_kw(hf),

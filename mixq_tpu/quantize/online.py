@@ -21,9 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mixq_tpu.config import ModelConfig
-from mixq_tpu.models.decoder import (
-    AttnParams, BlockParams, DecoderParams, DecoderSpecs, MLPParams, forward,
-)
+from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs, forward
 from mixq_tpu.models.layers import KVCache
 from mixq_tpu.ops import quant as Q
 from mixq_tpu.ops.mixed_linear import (
@@ -68,7 +66,9 @@ def warmup_online_outliers(
     for i, bp in enumerate(params.blocks):
         for slot, lin in (("wqkv", bp.attn.wq), ("wo", bp.attn.wo),
                           ("up", bp.mlp.up), ("down", bp.mlp.down)):
-            if lin.out_count is not None:
+            # sparse-MoE blocks have no dense up/down (experts skip the
+            # outlier machinery by design — ops/moe.py docstring)
+            if lin is not None and lin.out_count is not None:
                 counts[f"{i}.{slot}"] = int(lin.out_count)
     if restack:
         params = stack_decoder_params(params)
@@ -110,10 +110,10 @@ def _promote_from_stats(
                 if bp.mlp.gate is not None else None)
         down = _promote_linear(bp.mlp.down, specs.down,
                                stats[f"{i}.down"], sigma)
-        blocks.append(BlockParams(
-            ln1_scale=bp.ln1_scale, ln1_bias=bp.ln1_bias,
-            attn=AttnParams(wq=wq, wk=wk, wv=wv, wo=wo),
-            ln2_scale=bp.ln2_scale, ln2_bias=bp.ln2_bias,
-            mlp=MLPParams(up=up, gate=gate, down=down),
+        # _replace keeps every other field (qk norms, gemma2 post-norms,
+        # sparse-MoE params) — full re-construction silently dropped them
+        blocks.append(bp._replace(
+            attn=bp.attn._replace(wq=wq, wk=wk, wv=wv, wo=wo),
+            mlp=bp.mlp._replace(up=up, gate=gate, down=down),
         ))
     return params._replace(blocks=tuple(blocks))

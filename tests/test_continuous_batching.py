@@ -195,6 +195,23 @@ class TestWarmup:
         out = eng.run_to_completion()
         assert all(len(out[i]) == 4 for i in ids)
 
+    def test_warmup_covers_clamped_bucket(self, model):
+        """max_seq not a chunk multiple: _admit_many clamps Tp to max_seq,
+        so warmup must compile that bucket too (regression: long prompts
+        paid a serve-time compile)."""
+        from mixq_tpu.config import EngineConfig
+
+        params, cfg, specs = model
+        eng = ContinuousBatchingEngine(
+            params, cfg, specs,
+            EngineConfig(max_batch_size=2, max_seq_len=20, prefill_chunk=8))
+        n = eng.warmup()
+        # buckets {8, 16, 20} x k {1, 2} x 2 programs + decode + window
+        assert n == 14
+        rid = eng.add_request(list(range(1, 19)), 2)   # Tp clamps to 20
+        out = eng.run_to_completion()
+        assert len(out[rid]) == 2
+
 
 class TestServingSoak:
     def test_randomized_arrivals_match_uniform_engine(self, model):

@@ -104,3 +104,47 @@ class TestEngineWarmup:
         assert sum(counts.values()) > 0
         out = eng.generate([[1, 2, 3]], max_new_tokens=4)
         assert len(out[0]) == 4
+
+
+class TestWarmupPreservesNewFields:
+    def test_qwen3_qk_norm_survives_warmup(self):
+        """Regression: warmup promotion rebuilt blocks and silently
+        dropped q/k norms (wrong logits), post-norms, and MoE params."""
+        import jax
+
+        from mixq_tpu.config import ModelConfig
+        from mixq_tpu.models import DecoderSpecs
+        from mixq_tpu.models.decoder import init_decoder_params
+        from mixq_tpu.ops.mixed_linear import LinearSpec
+
+        cfg = ModelConfig.tiny(qk_norm=True, post_norms=True,
+                               num_key_value_heads=2)
+        specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
+        batches = [np.random.RandomState(s).randint(
+            0, cfg.vocab_size, (2, 8)) for s in range(2)]
+        out, _ = warmup_online_outliers(params, cfg, specs, batches)
+        assert out.blocks[0].attn.q_norm is not None
+        assert out.blocks[0].attn.k_norm is not None
+        assert out.blocks[0].post_attn_norm_scale is not None
+
+    def test_moe_model_warmup_does_not_crash(self):
+        import jax
+
+        from mixq_tpu.config import ModelConfig
+        from mixq_tpu.models import DecoderSpecs
+        from mixq_tpu.models.decoder import init_decoder_params
+        from mixq_tpu.ops.mixed_linear import LinearSpec
+
+        cfg = ModelConfig.tiny(model_type="mixtral", num_local_experts=4,
+                               num_experts_per_tok=2,
+                               num_key_value_heads=2, intermediate_size=64)
+        specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+        params = init_decoder_params(jax.random.PRNGKey(1), cfg, specs)
+        batches = [np.random.RandomState(0).randint(
+            0, cfg.vocab_size, (2, 8))]
+        out, counts = warmup_online_outliers(params, cfg, specs, batches)
+        assert out.blocks[0].mlp.moe is not None
+        # attention linears still promote; MoE up/down report nothing
+        assert all(not k.endswith(".up") and not k.endswith(".down")
+                   for k in counts)
