@@ -112,6 +112,8 @@ class ModelConfig:
     # block's MLP a routed top-k MoE (ops/moe.py)
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    moe_norm_topk: bool = True         # renormalize top-k router weights
+                                       # (mixtral yes, qwen2-moe no)
     moe_capacity_factor: float = 0.0   # <=0: exact (no token drops) —
                                        # correctness-first: every expert
                                        # allocates S slots, costing E x

@@ -172,7 +172,8 @@ def _mlp(h: jax.Array, mlp: MLPParams, specs: DecoderSpecs, cfg: ModelConfig):
         out = moe_mlp(h, mlp.moe, specs.up, specs.down,
                       top_k=cfg.num_experts_per_tok,
                       capacity_factor=cfg.moe_capacity_factor,
-                      act="silu" if cfg.hidden_act == "silu" else "gelu")
+                      act="silu" if cfg.hidden_act == "silu" else "gelu",
+                      norm_topk=cfg.moe_norm_topk)
         # second value feeds calibration stats ("down" input); MoE experts
         # skip the outlier machinery (ops/moe.py docstring), so report the
         # MLP input

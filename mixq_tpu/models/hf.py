@@ -86,6 +86,25 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             qk_norm=True,
             **rope_scaling_kw(hf),
         )
+    if mt == "qwen2_moe":
+        if hf.get("mlp_only_layers") or hf.get("decoder_sparse_step", 1) != 1:
+            raise ValueError(
+                "qwen2_moe with dense layers (mlp_only_layers / "
+                "decoder_sparse_step != 1) is not supported yet")
+        return ModelConfig(
+            **common,
+            intermediate_size=hf.get("moe_intermediate_size", 1408),
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", common["num_attention_heads"]),
+            head_dim=hf.get("head_dim"),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            rope_theta=hf.get("rope_theta", 1e6),
+            attention_bias=True,     # qwen-style qkv bias
+            num_local_experts=hf.get("num_experts", 60),
+            num_experts_per_tok=hf.get("num_experts_per_tok", 4),
+            moe_norm_topk=hf.get("norm_topk_prob", False),
+            **rope_scaling_kw(hf),
+        )
     if mt == "mixtral":
         return ModelConfig(
             **common,
@@ -408,6 +427,7 @@ _SCHEMES["gemma2"] = dict(
 # mixtral: llama-style attention/norms; the MLP is a sparse MoE read by a
 # dedicated branch in params_from_source (block_sparse_moe.*)
 _SCHEMES["mixtral"] = dict(_SCHEMES["llama"], gate=None, up=None, down=None)
+_SCHEMES["qwen2_moe"] = _SCHEMES["mixtral"]
 
 
 def scheme_for(model_type: str) -> Dict[str, Optional[str]]:
@@ -545,17 +565,40 @@ def params_from_source(
         if cfg.num_local_experts > 0:
             from mixq_tpu.ops.moe import MoEParams, expert_from_float
 
-            pre = f"model.layers.{i}.block_sparse_moe"
+            if cfg.model_type == "qwen2_moe":
+                pre = f"model.layers.{i}.mlp"
+                names = ("gate_proj", "up_proj", "down_proj")
+                expert_fmt = pre + ".experts.{e}.{w}.weight"
+            else:                                     # mixtral
+                pre = f"model.layers.{i}.block_sparse_moe"
+                names = ("w1", "w3", "w2")
+                expert_fmt = pre + ".experts.{e}.{w}.weight"
             router = np.asarray(src.get(pre + ".gate.weight"),
                                 np.float32).T             # [H, E]
 
             def stack(wn):
                 # per-expert torch Linear [N, K] -> stacked [E, K, N]
                 return jnp.asarray(np.stack([
-                    np.asarray(src.get(f"{pre}.experts.{e}.{wn}.weight"),
+                    np.asarray(src.get(expert_fmt.format(e=e, w=wn)),
                                np.float32).T
                     for e in range(cfg.num_local_experts)]))
 
+            shared_kw = {}
+            if src.has(pre + ".shared_expert.gate_proj.weight"):
+                # qwen2-moe shared expert (dense SwiGLU, sigmoid-gated)
+                shared_kw = dict(
+                    shared_gate=_linear_from_src(
+                        src, pre + ".shared_expert.gate_proj", specs.up,
+                        None, store_dtype=store_dtype),
+                    shared_up=_linear_from_src(
+                        src, pre + ".shared_expert.up_proj", specs.up,
+                        None, store_dtype=store_dtype),
+                    shared_down=_linear_from_src(
+                        src, pre + ".shared_expert.down_proj", specs.down,
+                        None, store_dtype=store_dtype),
+                    shared_route=jnp.asarray(np.asarray(
+                        src.get(pre + ".shared_expert_gate.weight"),
+                        np.float32).T, store_dtype))
             blocks.append(BlockParams(
                 ln1_scale=norm_vec(scheme["ln1"], i),
                 ln1_bias=get_vec(scheme.get("ln1_bias"), i),
@@ -564,12 +607,13 @@ def params_from_source(
                 ln2_bias=get_vec(scheme.get("ln2_bias"), i),
                 mlp=MLPParams(up=None, gate=None, down=None, moe=MoEParams(
                     router=jnp.asarray(router, store_dtype),
-                    gate=expert_from_float(stack("w1"), specs.gate,
+                    gate=expert_from_float(stack(names[0]), specs.gate,
                                            store_dtype),
-                    up=expert_from_float(stack("w3"), specs.up,
+                    up=expert_from_float(stack(names[1]), specs.up,
                                          store_dtype),
-                    down=expert_from_float(stack("w2"), specs.down,
-                                           store_dtype))),
+                    down=expert_from_float(stack(names[2]), specs.down,
+                                           store_dtype),
+                    **shared_kw)),
             ))
             continue
         if cfg.model_type == "chatglm":

@@ -45,6 +45,12 @@ class MoEParams(NamedTuple):
     gate: ExpertLinearParams       # [E, H, I] (mixtral w1)
     up: ExpertLinearParams         # [E, H, I] (mixtral w3)
     down: ExpertLinearParams       # [E, I, H] (mixtral w2)
+    # qwen2-moe SHARED expert: a dense SwiGLU every token passes through,
+    # its output scaled by sigmoid(x @ shared_route)
+    shared_gate: Optional[object] = None   # MixLinearParams [H, I_sh]
+    shared_up: Optional[object] = None
+    shared_down: Optional[object] = None
+    shared_route: Optional[jax.Array] = None   # [H, 1] fp
 
 
 def expert_from_float(w_ekn: jax.Array, spec: LinearSpec,
@@ -98,9 +104,12 @@ def moe_capacity(n_tokens: int, n_experts: int, top_k: int,
 def moe_mlp(x: jax.Array, p: MoEParams, spec_up: LinearSpec,
             spec_down: LinearSpec, top_k: int,
             capacity_factor: float = 0.0,
-            act: str = "silu") -> jax.Array:
+            act: str = "silu", norm_topk: bool = True) -> jax.Array:
     """Sparse-MoE SwiGLU MLP over [B, T, H] (HF MixtralSparseMoeBlock
-    semantics: softmax over ALL experts, top-k, renormalize)."""
+    semantics: softmax over ALL experts, top-k, then renormalize when
+    norm_topk — qwen2-moe keeps raw softmax weights). A qwen2-moe shared
+    expert (dense SwiGLU gated by sigmoid(x @ shared_route)) adds in at
+    the end."""
     B, T, H = x.shape
     S = B * T
     E = p.router.shape[1]
@@ -109,7 +118,8 @@ def moe_mlp(x: jax.Array, p: MoEParams, spec_up: LinearSpec,
     logits = xs.astype(jnp.float32) @ p.router.astype(jnp.float32)  # [S, E]
     probs = jax.nn.softmax(logits, axis=-1)
     top_w, top_e = jax.lax.top_k(probs, top_k)               # [S, k]
-    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    if norm_topk:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
 
     # static-capacity dispatch: each (token, choice) claims the next free
     # slot of its expert; slots >= C drop (factor<=0 makes C=S: no drops).
@@ -151,4 +161,17 @@ def moe_mlp(x: jax.Array, p: MoEParams, spec_up: LinearSpec,
     y_sk = y[jnp.where(valid, top_e, 0), jnp.where(valid, pos, 0)]  # [S,k,H]
     w_sk = jnp.where(valid, top_w, 0.0)[..., None]
     out = jnp.sum(w_sk * y_sk, axis=1)                       # [S, H] f32
+
+    if p.shared_up is not None:
+        from mixq_tpu.ops.mixed_linear import mixed_linear
+
+        sg = mixed_linear(p.shared_gate, x, spec_up).astype(jnp.float32)
+        su = mixed_linear(p.shared_up, x, spec_up).astype(jnp.float32)
+        inner_sh = (jax.nn.silu(sg) if act == "silu"
+                    else jax.nn.gelu(sg, approximate=True)) * su
+        sh = mixed_linear(p.shared_down, inner_sh.astype(x.dtype),
+                          spec_down).astype(jnp.float32)
+        route = jax.nn.sigmoid(
+            xs.astype(jnp.float32) @ p.shared_route.astype(jnp.float32))
+        out = out + (route * sh.reshape(S, H))
     return out.reshape(B, T, H).astype(x.dtype)

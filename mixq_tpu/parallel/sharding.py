@@ -106,8 +106,18 @@ def _mlp_pspecs(mlp: MLPParams, stacked: bool = False) -> MLPParams:
             ss = _maybe(p.w_scale, P(MODEL_AXIS, None))
             return ExpertLinearParams(q_weight=qs, w_scale=ss)
 
+        lp = lambda p, col: (None if p is None
+                             else linear_pspecs(p, col_parallel=col,
+                                                stacked=stacked))
         moe = MoEParams(router=P(None, None), gate=ep(mlp.moe.gate),
-                        up=ep(mlp.moe.up), down=ep(mlp.moe.down))
+                        up=ep(mlp.moe.up), down=ep(mlp.moe.down),
+                        # qwen2-moe shared expert: dense TP like the
+                        # regular MLP; tiny route vector replicated
+                        shared_gate=lp(mlp.moe.shared_gate, True),
+                        shared_up=lp(mlp.moe.shared_up, True),
+                        shared_down=lp(mlp.moe.shared_down, False),
+                        shared_route=_maybe(mlp.moe.shared_route,
+                                            P(None, None)))
         return MLPParams(up=None, gate=None, down=None, moe=moe)
     return MLPParams(
         up=linear_pspecs(mlp.up, col_parallel=True, stacked=stacked),

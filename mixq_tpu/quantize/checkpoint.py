@@ -170,7 +170,11 @@ def _load_mlp(p: str, model_cfg, get, linear):
             router=get(p + ".mlp.moe.router"),
             gate=expert(p + ".mlp.moe.gate"),
             up=expert(p + ".mlp.moe.up"),
-            down=expert(p + ".mlp.moe.down")))
+            down=expert(p + ".mlp.moe.down"),
+            shared_gate=linear(p + ".mlp.moe.shared_gate", required=False),
+            shared_up=linear(p + ".mlp.moe.shared_up", required=False),
+            shared_down=linear(p + ".mlp.moe.shared_down", required=False),
+            shared_route=get(p + ".mlp.moe.shared_route")))
     return MLPParams(
         up=linear(p + ".mlp.up"),
         gate=linear(p + ".mlp.gate", required=False),  # no-gate archs

@@ -160,6 +160,26 @@ class TestLlamaFamily:
         assert mcfg.num_local_experts == 4
         assert mcfg.num_experts_per_tok == 2
 
+    def test_qwen2_moe(self):
+        """Qwen2-MoE: fine-grained experts + a sigmoid-gated SHARED expert
+        every token passes through; raw (un-renormalized) top-k router
+        weights by default."""
+        from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+        cfg = Qwen2MoeConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=48, shared_expert_intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, num_experts=8, num_experts_per_tok=3,
+            norm_topk_prob=False, max_position_embeddings=128,
+            decoder_sparse_step=1, mlp_only_layers=[],
+        )
+        torch.manual_seed(19)
+        model = Qwen2MoeForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(),
+                             tiny_tokens(128, seed=19), atol=4e-3)
+        assert mcfg.num_local_experts == 8 and not mcfg.moe_norm_topk
+
     def test_gemma(self):
         """Gemma: sqrt(hidden) embed scale, (1+w) RMSNorm (folded at
         conversion), GeGLU MLP, explicit head_dim, tied lm_head."""
