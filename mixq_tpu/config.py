@@ -134,7 +134,13 @@ class ModelConfig:
     rope_scaling_factor: float = 1.0
     rope_low_freq_factor: float = 1.0      # llama3 only
     rope_high_freq_factor: float = 4.0     # llama3 only
-    rope_original_max_position: int = 8192  # llama3 only
+    rope_original_max_position: int = 8192  # llama3 + longrope
+    # longrope (phi3): per-frequency rescale factors; the serving context
+    # (cache max_seq) statically picks short vs long, and cos/sin scale by
+    # the attention factor
+    rope_short_factor: Optional[Tuple[float, ...]] = None
+    rope_long_factor: Optional[Tuple[float, ...]] = None
+    rope_attention_factor: float = 1.0
     sliding_window: Optional[int] = None
     alibi: bool = False                # ALiBi additive attention bias instead
                                        # of rotary (Baichuan-13B, falcon-alibi;
@@ -152,7 +158,9 @@ class ModelConfig:
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
         fields = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in fields})
+        # lists -> tuples: the config is a jit static and must stay hashable
+        return cls(**{k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in d.items() if k in fields})
 
     @classmethod
     def tiny(cls, **kw) -> "ModelConfig":

@@ -348,6 +348,15 @@ def forward(
                         cfg.rope_original_max_position)
     elif cfg.rope_scaling_type == "linear":
         rope_scaling = ("linear", cfg.rope_scaling_factor)
+    elif cfg.rope_scaling_type == "longrope":
+        # static serving-context choice: caches sized past the pretrain
+        # length use the long factors (HF switches on runtime seq_len;
+        # the cache's max_seq IS this program's max sequence length)
+        use_long = cache.max_seq > cfg.rope_original_max_position
+        rope_scaling = ("longrope",
+                        cfg.rope_long_factor if use_long
+                        else cfg.rope_short_factor,
+                        cfg.rope_attention_factor)
     else:
         rope_scaling = None
     cos, sin = rope_cos_sin(rope_pos, rot, cfg.rope_theta,

@@ -86,6 +86,38 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             qk_norm=True,
             **rope_scaling_kw(hf),
         )
+    if mt == "phi3":
+        import math as _m
+
+        kw = {}
+        rs = hf.get("rope_scaling") or None
+        if rs and rs.get("rope_type", rs.get("type")) == "longrope":
+            orig = int(hf.get("original_max_position_embeddings",
+                              common["max_position_embeddings"]))
+            factor = common["max_position_embeddings"] / orig
+            att = rs.get("attention_factor")
+            if att is None:
+                att = (1.0 if factor <= 1.0 else
+                       _m.sqrt(1 + _m.log(factor) / _m.log(orig)))
+            kw = {"rope_scaling_type": "longrope",
+                  "rope_short_factor": tuple(float(f)
+                                             for f in rs["short_factor"]),
+                  "rope_long_factor": tuple(float(f)
+                                            for f in rs["long_factor"]),
+                  "rope_original_max_position": orig,
+                  "rope_attention_factor": float(att)}
+        elif rs:
+            kw = rope_scaling_kw(hf)
+        return ModelConfig(
+            **common,
+            intermediate_size=hf["intermediate_size"],
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", common["num_attention_heads"]),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            sliding_window=hf.get("sliding_window"),
+            **kw,
+        )
     if mt == "qwen2_moe":
         if hf.get("mlp_only_layers") or hf.get("decoder_sparse_step", 1) != 1:
             raise ValueError(
@@ -428,6 +460,20 @@ _SCHEMES["gemma2"] = dict(
 # dedicated branch in params_from_source (block_sparse_moe.*)
 _SCHEMES["mixtral"] = dict(_SCHEMES["llama"], gate=None, up=None, down=None)
 _SCHEMES["qwen2_moe"] = _SCHEMES["mixtral"]
+_SCHEMES["phi3"] = dict(
+    embed="model.embed_tokens.weight",
+    ln1="model.layers.{i}.input_layernorm.weight",
+    q=None, k=None, v=None,
+    qkv="model.layers.{i}.self_attn.qkv_proj",     # q|k|v packed
+    o="model.layers.{i}.self_attn.o_proj",
+    gate=None,                                     # gate|up packed
+    up="model.layers.{i}.mlp.gate_up_proj",
+    down="model.layers.{i}.mlp.down_proj",
+    ln2="model.layers.{i}.post_attention_layernorm.weight",
+    lnf="model.norm.weight",
+    lm_head="lm_head.weight",
+    packed_gate_up=True,
+)
 
 
 def scheme_for(model_type: str) -> Dict[str, Optional[str]]:
@@ -616,8 +662,9 @@ def params_from_source(
                     **shared_kw)),
             ))
             continue
-        if cfg.model_type == "chatglm":
-            # dense_h_to_4h packs [gate; up] along out dim
+        if scheme.get("packed_gate_up") or cfg.model_type == "chatglm":
+            # packed [gate; up] along the out dim (chatglm dense_h_to_4h,
+            # phi3 gate_up_proj — both store gate first)
             w = np.asarray(src.get(scheme["up"].format(i=i) + ".weight"),
                            np.float32)
             I = cfg.intermediate_size

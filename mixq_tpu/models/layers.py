@@ -104,6 +104,13 @@ def rope_cos_sin(
             inv_freq = jnp.where(
                 wavelen > low_wl, scaled,
                 jnp.where(wavelen < high_wl, inv_freq, smoothed))
+        elif kind == "longrope":
+            # phi3: per-frequency ext factors + attention-factor cos/sin
+            # scale (transformers _compute_longrope_parameters)
+            _, factors, att = scaling
+            inv_freq = inv_freq / jnp.asarray(factors, jnp.float32)
+            angles = positions.astype(jnp.float32)[..., None] * inv_freq
+            return jnp.cos(angles) * att, jnp.sin(angles) * att
         else:
             raise ValueError(f"unsupported rope scaling {kind}")
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., dim/2]

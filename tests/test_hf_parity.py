@@ -160,6 +160,47 @@ class TestLlamaFamily:
         assert mcfg.num_local_experts == 4
         assert mcfg.num_experts_per_tok == 2
 
+    def test_phi3(self):
+        """Phi-3: packed qkv_proj and gate_up_proj (split at conversion),
+        plain rope."""
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        cfg = Phi3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            pad_token_id=0,
+        )
+        torch.manual_seed(20)
+        model = Phi3ForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=20))
+
+    def test_phi3_longrope(self):
+        """Phi-3 longrope: per-frequency short/long factor rescale +
+        attention-factor cos/sin scale; the parity run's 32-slot cache
+        stays under original_max_position, matching HF's short-factor
+        init path."""
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        hd2 = 8    # head_dim/2 factors
+        cfg = Phi3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=256,
+            original_max_position_embeddings=64, pad_token_id=0,
+            rope_scaling={"type": "longrope",
+                          "short_factor": [1.0 + 0.1 * i
+                                           for i in range(hd2)],
+                          "long_factor": [2.0 + 0.3 * i
+                                          for i in range(hd2)]},
+        )
+        torch.manual_seed(21)
+        model = Phi3ForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(),
+                             tiny_tokens(128, seed=21), atol=4e-3)
+        assert mcfg.rope_scaling_type == "longrope"
+        assert mcfg.rope_attention_factor > 1.0
+
     def test_qwen2_moe(self):
         """Qwen2-MoE: fine-grained experts + a sigmoid-gated SHARED expert
         every token passes through; raw (un-renormalized) top-k router
