@@ -1,4 +1,6 @@
 from mixq_tpu.engine.engine import InferenceEngine
 from mixq_tpu.engine.sampling import SamplingParams, sample
+from mixq_tpu.engine.speculative import generate_speculative
 
-__all__ = ["InferenceEngine", "SamplingParams", "sample"]
+__all__ = ["InferenceEngine", "SamplingParams", "sample",
+           "generate_speculative"]
