@@ -8,13 +8,22 @@ per-linear precision policy is a static `DecoderSpecs`.
 
 One decoder covers the reference's model families via ModelConfig switches:
   llama/llama-2/llama-3/aquila   : RMSNorm, SwiGLU, GQA, neox rope
+                                   (+ llama3/linear rope_scaling)
   qwen2                          : + attention qkv bias
-  mistral                        : + sliding window
-  baichuan                       : fused W_pack qkv (native here: wqkv always fused)
+  qwen3                          : + per-head QK-Norm before RoPE
+  mistral                        : + sliding window (ring KV reclaim)
+  baichuan                       : fused W_pack qkv; 13B selects ALiBi
   falcon                         : LayerNorm, GELU no-gate MLP, parallel attn+mlp, MQA
   gptj                           : LayerNorm, parallel block, gptj rope, partial rotary
   opt                            : LayerNorm, GELU MLP, learned positions (adapter maps
                                    learned pos-emb into embed at load time)
+  gemma / gemma2                 : sqrt(H) embed scale, GeGLU, (1+w) norms;
+                                   gemma2 adds post-norms, softcaps,
+                                   query_pre_attn_scalar, alternating windows
+  mixtral / qwen2_moe            : sparse-MoE MLP (ops/moe.py; qwen2_moe
+                                   adds the sigmoid-gated shared expert)
+  phi3                           : packed qkv/gate_up, longrope scaling
+  chatglm                        : packed gate|up, gptj-style partial rotary
 """
 from __future__ import annotations
 
