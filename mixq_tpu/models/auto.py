@@ -25,7 +25,7 @@ from mixq_tpu.quantize.quantizer import quantize_model, resolve_specs
 SUPPORTED_MODEL_TYPES = (
     "llama", "aquila", "baichuan", "mistral", "qwen2", "falcon", "gptj",
     "opt", "chatglm", "gemma", "gemma2", "mixtral", "qwen2_moe",
-    "qwen3", "phi3",
+    "qwen3", "phi3", "starcoder2",
 )
 
 

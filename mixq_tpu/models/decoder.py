@@ -206,7 +206,9 @@ def _mlp(h: jax.Array, mlp: MLPParams, specs: DecoderSpecs, cfg: ModelConfig):
     else:
         spec_up = specs.up
         if spec_up.fuse == "none" and cfg.hidden_act not in ("relu",):
-            act = "gelu_new" if cfg.hidden_act == "gelu_new" else "gelu"
+            act = ("gelu_new"
+                   if cfg.hidden_act in ("gelu_new", "gelu_pytorch_tanh")
+                   else "gelu")
             spec_up = dataclasses.replace(spec_up, fuse=act)
         inner = mixed_linear(mlp.up, h, spec_up)
         if cfg.hidden_act == "relu":

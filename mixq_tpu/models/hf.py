@@ -86,6 +86,22 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             qk_norm=True,
             **rope_scaling_kw(hf),
         )
+    if mt == "starcoder2":
+        return ModelConfig(
+            **common,
+            intermediate_size=hf["intermediate_size"],
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", common["num_attention_heads"]),
+            rms_norm_eps=hf.get("norm_epsilon", 1e-5),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            hidden_act=hf.get("hidden_act", "gelu_pytorch_tanh"),
+            attention_bias=hf.get("use_bias", True),
+            mlp_bias=hf.get("use_bias", True),
+            layernorm="layernorm",
+            sliding_window=(hf.get("sliding_window")
+                            if hf.get("use_sliding_window", False) else None),
+            **rope_scaling_kw(hf),
+        )
     if mt == "phi3":
         import math as _m
 
@@ -460,6 +476,24 @@ _SCHEMES["gemma2"] = dict(
 # dedicated branch in params_from_source (block_sparse_moe.*)
 _SCHEMES["mixtral"] = dict(_SCHEMES["llama"], gate=None, up=None, down=None)
 _SCHEMES["qwen2_moe"] = _SCHEMES["mixtral"]
+_SCHEMES["starcoder2"] = dict(
+    embed="model.embed_tokens.weight",
+    ln1="model.layers.{i}.input_layernorm.weight",
+    ln1_bias="model.layers.{i}.input_layernorm.bias",
+    q="model.layers.{i}.self_attn.q_proj",
+    k="model.layers.{i}.self_attn.k_proj",
+    v="model.layers.{i}.self_attn.v_proj",
+    qkv=None,
+    o="model.layers.{i}.self_attn.o_proj",
+    gate=None,                               # plain GELU MLP (c_fc/c_proj)
+    up="model.layers.{i}.mlp.c_fc",
+    down="model.layers.{i}.mlp.c_proj",
+    ln2="model.layers.{i}.post_attention_layernorm.weight",
+    ln2_bias="model.layers.{i}.post_attention_layernorm.bias",
+    lnf="model.norm.weight",
+    lnf_bias="model.norm.bias",
+    lm_head="lm_head.weight",
+)
 _SCHEMES["phi3"] = dict(
     embed="model.embed_tokens.weight",
     ln1="model.layers.{i}.input_layernorm.weight",

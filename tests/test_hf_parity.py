@@ -160,6 +160,22 @@ class TestLlamaFamily:
         assert mcfg.num_local_experts == 4
         assert mcfg.num_experts_per_tok == 2
 
+    def test_starcoder2(self):
+        """Starcoder2: LayerNorm (+bias) blocks, biased linears, plain
+        tanh-GELU MLP, GQA rope — all existing ModelConfig switches."""
+        from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+        cfg = Starcoder2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            use_bias=True, sliding_window=None,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(22)
+        model = Starcoder2ForCausalLM(cfg)
+        run_parity(model, cfg.to_dict(), tiny_tokens(128, seed=22))
+
     def test_phi3(self):
         """Phi-3: packed qkv_proj and gate_up_proj (split at conversion),
         plain rope."""
