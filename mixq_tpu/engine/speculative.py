@@ -61,7 +61,17 @@ def generate_speculative(
     from mixq_tpu.utils.shapes import round_up
 
     cfg, specs, ecfg = engine.model_cfg, engine.specs, engine.engine_cfg
+    if engine.mesh is not None:
+        raise NotImplementedError(
+            "speculative decoding builds its own single-device cache; "
+            "meshed engines are not supported yet — use engine.generate")
     n = len(prompt)
+    if n > ecfg.max_seq_len:
+        raise ValueError(
+            f"prompt ({n} tokens) longer than max_seq_len "
+            f"({ecfg.max_seq_len})")
+    if n == 0:
+        raise ValueError("empty prompt")
     Tp = min(round_up(n, ecfg.prefill_chunk), ecfg.max_seq_len)
     total = Tp + max_new_tokens + k
     # batch-major cache: the verify step is a mid-sequence T=k decode,

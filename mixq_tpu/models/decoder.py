@@ -362,8 +362,13 @@ def forward(
     elif cfg.rope_scaling_type == "longrope":
         # static serving-context choice: caches sized past the pretrain
         # length use the long factors (HF switches on runtime seq_len;
-        # the cache's max_seq IS this program's max sequence length)
-        use_long = cache.max_seq > cfg.rope_original_max_position
+        # the cache's max_seq IS this program's max sequence length).
+        # 256 slack absorbs engine bucketing (round-to-128 + tail-window
+        # padding) so a cache REQUESTED at the pretrain length doesn't
+        # flip to long factors — and every harness sizing within the
+        # slack picks the same factors (bit-consistency across engines)
+        use_long = (cache.max_seq
+                    > cfg.rope_original_max_position + 256)
         rope_scaling = ("longrope",
                         cfg.rope_long_factor if use_long
                         else cfg.rope_short_factor,

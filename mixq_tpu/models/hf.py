@@ -106,8 +106,14 @@ def config_from_hf(hf: Dict) -> ModelConfig:
         import math as _m
 
         kw = {}
+        head_dim = (common["hidden_size"]
+                    // common["num_attention_heads"])
+        prf = float(hf.get("partial_rotary_factor", 1.0))
+        if prf < 1.0:       # Phi-4-mini-class checkpoints under model_type
+            kw["rotary_dim"] = int(head_dim * prf)   # 'phi3'
         rs = hf.get("rope_scaling") or None
-        if rs and rs.get("rope_type", rs.get("type")) == "longrope":
+        # 'su' is the legacy alias transformers normalizes to 'longrope'
+        if rs and rs.get("rope_type", rs.get("type")) in ("longrope", "su"):
             orig = int(hf.get("original_max_position_embeddings",
                               common["max_position_embeddings"]))
             factor = common["max_position_embeddings"] / orig
@@ -115,15 +121,16 @@ def config_from_hf(hf: Dict) -> ModelConfig:
             if att is None:
                 att = (1.0 if factor <= 1.0 else
                        _m.sqrt(1 + _m.log(factor) / _m.log(orig)))
-            kw = {"rope_scaling_type": "longrope",
-                  "rope_short_factor": tuple(float(f)
-                                             for f in rs["short_factor"]),
-                  "rope_long_factor": tuple(float(f)
-                                            for f in rs["long_factor"]),
-                  "rope_original_max_position": orig,
-                  "rope_attention_factor": float(att)}
+            kw.update({
+                "rope_scaling_type": "longrope",
+                "rope_short_factor": tuple(float(f)
+                                           for f in rs["short_factor"]),
+                "rope_long_factor": tuple(float(f)
+                                          for f in rs["long_factor"]),
+                "rope_original_max_position": orig,
+                "rope_attention_factor": float(att)})
         elif rs:
-            kw = rope_scaling_kw(hf)
+            kw.update(rope_scaling_kw(hf))
         return ModelConfig(
             **common,
             intermediate_size=hf["intermediate_size"],

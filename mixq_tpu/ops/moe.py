@@ -163,10 +163,21 @@ def moe_mlp(x: jax.Array, p: MoEParams, spec_up: LinearSpec,
     out = jnp.sum(w_sk * y_sk, axis=1)                       # [S, H] f32
 
     if p.shared_up is not None:
-        from mixq_tpu.ops.mixed_linear import mixed_linear
+        from mixq_tpu.ops.mixed_linear import (
+            mixed_linear, mixed_linear_prepared, prepare_act,
+        )
 
-        sg = mixed_linear(p.shared_gate, x, spec_up).astype(jnp.float32)
-        su = mixed_linear(p.shared_up, x, spec_up).astype(jnp.float32)
+        # gate/up share ONE quantized activation (the same invariant as
+        # the dense gated MLP — q/k/v and up/gate never re-quantize)
+        if spec_up.version in ("FP16", "WEIGHT_ONLY", "QUIK"):
+            sg = mixed_linear(p.shared_gate, x, spec_up).astype(jnp.float32)
+            su = mixed_linear(p.shared_up, x, spec_up).astype(jnp.float32)
+        else:
+            act = prepare_act(x, p.shared_up, spec_up)
+            sg = mixed_linear_prepared(p.shared_gate, act,
+                                       spec_up).astype(jnp.float32)
+            su = mixed_linear_prepared(p.shared_up, act,
+                                       spec_up).astype(jnp.float32)
         inner_sh = (jax.nn.silu(sg) if act == "silu"
                     else jax.nn.gelu(sg, approximate=True)) * su
         sh = mixed_linear(p.shared_down, inner_sh.astype(x.dtype),

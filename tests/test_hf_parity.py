@@ -217,6 +217,32 @@ class TestLlamaFamily:
         assert mcfg.rope_scaling_type == "longrope"
         assert mcfg.rope_attention_factor > 1.0
 
+    def test_phi3_partial_rotary_longrope(self):
+        """Phi-4-mini-class checkpoint under model_type phi3:
+        partial_rotary_factor (rope on the first 3/4 of head_dim) with
+        legacy 'su'-typed longrope factors sized to the ROTARY dims."""
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        rot2 = 6    # rotary_dim(12)/2 factors; head_dim 16
+        cfg = Phi3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=256,
+            original_max_position_embeddings=64, pad_token_id=0,
+            partial_rotary_factor=0.75,
+            rope_scaling={"type": "su",
+                          "short_factor": [1.0 + 0.2 * i
+                                           for i in range(rot2)],
+                          "long_factor": [2.0 + 0.4 * i
+                                          for i in range(rot2)]},
+        )
+        torch.manual_seed(23)
+        model = Phi3ForCausalLM(cfg)
+        mcfg, _ = run_parity(model, cfg.to_dict(),
+                             tiny_tokens(128, seed=23), atol=4e-3)
+        assert mcfg.rotary_dim == 12
+        assert mcfg.rope_scaling_type == "longrope"
+
     def test_qwen2_moe(self):
         """Qwen2-MoE: fine-grained experts + a sigmoid-gated SHARED expert
         every token passes through; raw (un-renormalized) top-k router
