@@ -47,6 +47,40 @@ VARIANTS = {
 }
 
 
+# variants the flash kernel serves (no softcap/custom scale/alternating
+# windows/layernorm-bias interplay needed — see use_head_major_cache)
+FLASH_VARIANTS = ("llama_gqa", "qwen3_qk_norm", "gemma_scaled",
+                  "mistral_window", "alibi", "moe", "longrope")
+
+
+@pytest.mark.parametrize("name", FLASH_VARIANTS)
+def test_flash_int8_cb_smoke(name):
+    """Each flash-servable variant through the CB pool on the head-major
+    int8 cache with per-row tail windows: completes deterministically
+    (numerics differ from XLA, so token equality isn't asserted)."""
+    over = dict(VARIANTS[name])
+    if over.get("sliding_window"):
+        # the kernel's start-offset windowing requires W > tail depth R
+        over["sliding_window"] = 16
+    cfg = ModelConfig.tiny(**over)
+    specs = dataclasses.replace(
+        DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8)),
+        attn_impl="flash")
+    params = init_decoder_params(jax.random.PRNGKey(7), cfg, specs)
+    outs = []
+    for _ in range(2):
+        eng = ContinuousBatchingEngine(
+            params, cfg, specs,
+            EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=8,
+                         kv_dtype="int8"))
+        assert eng.cache.head_major and eng.cache.k_tail is not None
+        ids = [eng.add_request(p, 10) for p in ([3, 1, 4, 1, 5], [2, 7])]
+        out = eng.run_to_completion()
+        assert all(len(out[i]) == 10 for i in ids), name
+        outs.append([out[i] for i in ids])
+    assert outs[0] == outs[1], name
+
+
 @pytest.mark.parametrize("name", sorted(VARIANTS))
 def test_cb_matches_uniform(name):
     cfg = ModelConfig.tiny(**VARIANTS[name])
