@@ -13,7 +13,7 @@ TPU-native replacements for the reference's fused modules:
 from __future__ import annotations
 
 import dataclasses as _dc
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
