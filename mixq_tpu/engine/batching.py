@@ -109,6 +109,15 @@ class ContinuousBatchingEngine:
         def _flush(cache: KVCache, row_lengths) -> KVCache:
             return cache.flush_tail(row_lengths)
 
+        @jax.jit
+        def _sample_lp(logits, key, t, k, p):
+            tok = sample_per_slot(logits, key, t, k, p)
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                tok[:, None], axis=1)[:, 0]
+            return tok, lp
+
+        self._sample_lp = _sample_lp
         self._decode = _decode
         self._prefill = _prefill
         self._insert = _insert
@@ -138,8 +147,12 @@ class ContinuousBatchingEngine:
         self._prompts: Dict[int, List[int]] = {}
         self._req_sampling: Dict[int, Optional[SamplingParams]] = {}
         self._slot_sampling: Dict[int, Optional[SamplingParams]] = {}
+        self._req_stop: Dict[int, frozenset] = {}
+        self._slot_stop: Dict[int, frozenset] = {}
         self._outputs: Dict[int, List[int]] = {}
+        self._logprobs: Dict[int, List[float]] = {}
         self._done: Dict[int, List[int]] = {}
+        self._done_logprobs: Dict[int, List[float]] = {}
         self._slot_req: Dict[int, int] = {}
         self._next_id = 0
         self._key = jax.random.PRNGKey(0)
@@ -148,10 +161,14 @@ class ContinuousBatchingEngine:
     # -- request API -------------------------------------------------------
 
     def add_request(self, prompt: Sequence[int], max_new_tokens: int,
-                    sampling: Optional[SamplingParams] = None) -> int:
+                    sampling: Optional[SamplingParams] = None,
+                    stop_token_ids: Optional[Sequence[int]] = None) -> int:
         """`sampling`: per-REQUEST sampling config; None inherits the
         step-level default. Heterogeneous batches (greedy rows next to
-        temperature rows) run in the same compiled step."""
+        temperature rows) run in the same compiled step.
+        `stop_token_ids`: per-REQUEST stop set — the request finishes
+        when any of them is emitted (the stop token is kept in the
+        output, like EOS)."""
         rid = self._next_id
         self._next_id += 1
         rc = self.sched.add_request(rid, len(prompt), max_new_tokens)
@@ -160,7 +177,10 @@ class ContinuousBatchingEngine:
                              f"prompt_len={len(prompt)} max_seq={self.max_seq}")
         self._prompts[rid] = list(prompt)
         self._req_sampling[rid] = sampling
+        self._req_stop[rid] = (frozenset(stop_token_ids)
+                               if stop_token_ids else frozenset())
         self._outputs[rid] = []
+        self._logprobs[rid] = []
         return rid
 
     def _sampling_arrays(self, default: SamplingParams):
@@ -185,7 +205,19 @@ class ContinuousBatchingEngine:
     def finished(self) -> Dict[int, List[int]]:
         """Pop finished request outputs."""
         out, self._done = self._done, {}
+        self._done_logprobs = {r: lp for r, lp in
+                               self._done_logprobs.items() if r not in out}
         return out
+
+    def finished_records(self) -> Dict[int, Dict[str, list]]:
+        """Pop finished requests with per-token logprobs:
+        {rid: {"tokens": [...], "logprobs": [...]}} (logprob = log-softmax
+        of the RAW distribution at the chosen token, the standard serving
+        report)."""
+        out, self._done = self._done, {}
+        lps, self._done_logprobs = self._done_logprobs, {}
+        return {r: {"tokens": t, "logprobs": lps.get(r, [])}
+                for r, t in out.items()}
 
     @property
     def has_work(self) -> bool:
@@ -284,8 +316,9 @@ class ContinuousBatchingEngine:
             self.params, jnp.asarray(self.cur_tokens[:, None]),
             self.cache, jnp.asarray(self.lengths))
         self._key, sub = jax.random.split(self._key)
-        nxt = np.asarray(sample_per_slot(
-            logits, sub, *self._sampling_arrays(sampling)))
+        toks_d, lp_d = self._sample_lp(
+            logits, sub, *self._sampling_arrays(sampling))
+        nxt, lp = np.asarray(toks_d), np.asarray(lp_d)
 
         # only active slots advance / record
         self.lengths[active_np] += 1
@@ -298,13 +331,18 @@ class ContinuousBatchingEngine:
         self.cur_tokens[active_np] = nxt[active_np]
         for slot in active:
             rid = self._slot_req[slot]
-            self._outputs[rid].append(int(nxt[slot]))
+            tok = int(nxt[slot])
+            self._outputs[rid].append(tok)
+            self._logprobs[rid].append(float(lp[slot]))
             state = self.sched.on_token(slot)
             if state == 1:
                 self._done[rid] = self._outputs.pop(rid)
+                self._done_logprobs[rid] = self._logprobs.pop(rid, [])
                 del self._slot_req[slot]
                 self._slot_sampling.pop(slot, None)
                 self._sampling_dev = None
+            elif tok in self._slot_stop.get(slot, ()):
+                self.finish_slot(slot)
         return len(active)
 
     # -- device decode window ------------------------------------------------
@@ -332,20 +370,23 @@ class ContinuousBatchingEngine:
                 logits, cache = forward(params, tok[:, None], cache,
                                         specs_, mc, slot_lengths=lengths,
                                         decode_mesh=self.mesh)
-                t2 = sample_per_slot(logits[:, -1, :], sub, temp, topk,
-                                     topp)
+                last = logits[:, -1, :]
+                t2 = sample_per_slot(last, sub, temp, topk, topp)
+                lp2 = jnp.take_along_axis(
+                    jax.nn.log_softmax(last.astype(jnp.float32), axis=-1),
+                    t2[:, None], axis=1)[:, 0]
                 tok = jnp.where(active, t2, tok)
                 # clamp: a slot that finishes mid-window keeps computing
                 # (static shapes) but must not index past the cache
                 lengths = jnp.minimum(lengths + active.astype(jnp.int32),
                                       S - 1)
-                return (tok, cache, lengths, key), t2
+                return (tok, cache, lengths, key), (t2, lp2)
 
-            (tok, cache, lengths, key), toks = jax.lax.scan(
+            (tok, cache, lengths, key), (toks, lps) = jax.lax.scan(
                 one_step, (cur_tokens, cache, lengths, key), None, length=R)
             if cache.k_tail is not None:
                 cache = cache.flush_tail(lengths)
-            return toks, cache       # toks [R, B]
+            return toks, lps, cache       # toks/lps [R, B]
 
         self._windows["window"] = (window, R)
         return window, R
@@ -376,11 +417,12 @@ class ContinuousBatchingEngine:
         active_np[active] = True
         self._key, sub = jax.random.split(self._key)
         window, R = self._get_window()
-        toks, self.cache = window(
+        toks, lps, self.cache = window(
             self.params, jnp.asarray(self.cur_tokens), self.cache,
             jnp.asarray(self.lengths), jnp.asarray(active_np), sub,
             *self._sampling_arrays(sampling))
         toks = np.asarray(toks)                    # [R, n_slots]
+        lps = np.asarray(lps)
 
         running = set(active)
         for r in range(R):
@@ -390,16 +432,20 @@ class ContinuousBatchingEngine:
                 rid = self._slot_req[slot]
                 tok = int(toks[r, slot])
                 self._outputs[rid].append(tok)
+                self._logprobs[rid].append(float(lps[r, slot]))
                 self.lengths[slot] += 1
                 self.cur_tokens[slot] = tok
                 state = self.sched.on_token(slot)
                 if state == 1:
                     self._done[rid] = self._outputs.pop(rid)
+                    self._done_logprobs[rid] = self._logprobs.pop(rid, [])
                     del self._slot_req[slot]
                     self._slot_sampling.pop(slot, None)
                     self._sampling_dev = None
                     running.discard(slot)
-                elif eos_token_id is not None and tok == eos_token_id:
+                elif (tok in self._slot_stop.get(slot, ())
+                      or (eos_token_id is not None
+                          and tok == eos_token_id)):
                     self.finish_slot(slot)
                     running.discard(slot)
         return len(active)
@@ -411,8 +457,10 @@ class ContinuousBatchingEngine:
             return
         self.sched.finish(slot)
         self._slot_sampling.pop(slot, None)
+        self._slot_stop.pop(slot, None)
         self._sampling_dev = None
         self._done[rid] = self._outputs.pop(rid)
+        self._done_logprobs[rid] = self._logprobs.pop(rid, [])
 
     def run_to_completion(
         self, sampling: SamplingParams = SamplingParams(),
@@ -466,6 +514,7 @@ class ContinuousBatchingEngine:
             self.cur_tokens[slot] = prompt[-1]
             self._slot_req[slot] = rid
             self._slot_sampling[slot] = self._req_sampling.pop(rid, None)
+            self._slot_stop[slot] = self._req_stop.pop(rid, frozenset())
             self._sampling_dev = None
         if not group:
             return

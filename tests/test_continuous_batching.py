@@ -213,6 +213,49 @@ class TestWarmup:
         assert len(out[rid]) == 2
 
 
+class TestStopTokensAndLogprobs:
+    @pytest.mark.parametrize("windowed", [True, False])
+    def test_per_request_stop_tokens(self, model, windowed):
+        """A request with its own stop set finishes at the stop token
+        (kept in the output) without disturbing its neighbors."""
+        from mixq_tpu.config import EngineConfig
+
+        params, cfg, specs = model
+
+        def run(stop):
+            eng = ContinuousBatchingEngine(
+                params, cfg, specs,
+                EngineConfig(max_batch_size=2, max_seq_len=64,
+                             prefill_chunk=8, device_decode_loop=windowed))
+            r1 = eng.add_request([3, 1, 4, 1, 5], 12, stop_token_ids=stop)
+            r2 = eng.add_request([2, 7], 12)
+            out = eng.run_to_completion()
+            return out[r1], out[r2]
+
+        full1, full2 = run(None)
+        stop_tok = full1[4]
+        got1, got2 = run([stop_tok])
+        assert got1 == full1[:full1.index(stop_tok) + 1]
+        assert got2 == full2                       # neighbor unaffected
+
+    def test_finished_records_logprobs(self, model):
+        from mixq_tpu.config import EngineConfig
+
+        params, cfg, specs = model
+        eng = ContinuousBatchingEngine(
+            params, cfg, specs,
+            EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=8))
+        ids = [eng.add_request(p, 5) for p in ([3, 1, 4], [2, 7])]
+        while eng.has_work:
+            eng.step_window()
+        recs = eng.finished_records()
+        assert set(recs) == set(ids)
+        for rid in ids:
+            toks, lps = recs[rid]["tokens"], recs[rid]["logprobs"]
+            assert len(lps) == len(toks) == 5
+            assert all(np.isfinite(lp) and lp <= 0.0 for lp in lps)
+
+
 class TestServingSoak:
     def test_randomized_arrivals_match_uniform_engine(self, model):
         """Randomized serving soak: 14 requests with random prompt
