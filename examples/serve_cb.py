@@ -9,11 +9,12 @@ framework adds on top of it.
       [--slots 8 --max_seq 2048 --kv_dtype int8 --warmup]
 
 Request lines: {"prompt": "...", "max_new_tokens": 64,
-                "temperature": 0.8, "top_k": 40, "top_p": 0.95}
+                "temperature": 0.8, "top_k": 40, "top_p": 0.95,
+                "stop_token_ids": [ints]}
 ("prompt_ids": [ints] may replace "prompt" — no tokenizer needed; all
 other fields optional; sampling fields default to greedy).
 Output lines: {"id": N, "text"/"token_ids": ..., "tokens": M,
-               "steps_waited": K}
+               "steps_waited": K} (+ "logprobs" with --logprobs)
 """
 import argparse
 import json
@@ -36,6 +37,8 @@ def main():
     ap.add_argument("--eos_token_id", type=int, default=None)
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile the serving program set first")
+    ap.add_argument("--logprobs", action="store_true",
+                    help="include per-token logprobs in output records")
     ap.add_argument("--out", default="-")
     args = ap.parse_args()
 
@@ -74,13 +77,16 @@ def main():
         while eng.has_work:
             eng.step_window(eos_token_id=eos)
             step += 1
-            for rid, ids in eng.finished().items():
+            for rid, r in eng.finished_records().items():
+                ids = r["tokens"]
                 rec = {"id": rid, "tokens": len(ids),
                        "steps_waited": step - submit_step.pop(rid)}
                 if tok is not None:
                     rec["text"] = tok.decode(ids)
                 else:
                     rec["token_ids"] = ids
+                if args.logprobs:
+                    rec["logprobs"] = [round(x, 4) for x in r["logprobs"]]
                 print(json.dumps(rec), file=out, flush=True)
             if not block:
                 return
@@ -110,7 +116,7 @@ def main():
                                 top_p=req.get("top_p", 1.0))
         rid = eng.add_request(
             ids, req.get("max_new_tokens", args.max_new_tokens),
-            sampling=sp)
+            sampling=sp, stop_token_ids=req.get("stop_token_ids"))
         submit_step[rid] = step
         drain(block=False)   # overlap serving with request ingestion
     drain(block=True)
