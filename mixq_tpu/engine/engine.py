@@ -142,34 +142,40 @@ class InferenceEngine:
                  else 1)
             n_pad = -(-max_steps // R) * R
             buf = jnp.zeros((B, n_pad), jnp.int32)
+            lp_buf = jnp.zeros((B, n_pad), jnp.float32)
             done = first_tok == eos_id
 
             def cond(c):
-                step, _, _, _, _, done = c
+                step, _, _, _, _, _, done = c
                 return (step < max_steps) & ~jnp.all(done)
 
             def one_step(c, _):
-                step, buf, nxt, cache, key, done = c
+                step, buf, lp_buf, nxt, cache, key, done = c
                 key, sub = jax.random.split(key)
                 logits, cache = forward(params, nxt[:, None], cache, specs,
                                         mc, kv_start, decode_mesh=self.mesh)
-                tok = sample(logits[:, -1, :], sub, sp)
+                last = logits[:, -1, :]
+                tok = sample(last, sub, sp)
                 tok = jnp.where(done, eos_id, tok)
+                lp = jnp.take_along_axis(
+                    jax.nn.log_softmax(last.astype(jnp.float32), axis=-1),
+                    jnp.maximum(tok, 0)[:, None], axis=1)[:, 0]
                 done = done | (tok == eos_id)
                 buf = buf.at[:, step].set(tok)
-                return (step + 1, buf, tok, cache, key, done), None
+                lp_buf = lp_buf.at[:, step].set(lp)
+                return (step + 1, buf, lp_buf, tok, cache, key, done), None
 
             def body(c):
                 c, _ = jax.lax.scan(one_step, c, None, length=R)
-                step, buf, nxt, cache, key, done = c
+                step, buf, lp_buf, nxt, cache, key, done = c
                 if cache.k_tail is not None:
                     cache = cache.flush_tail()
-                return (step, buf, nxt, cache, key, done)
+                return (step, buf, lp_buf, nxt, cache, key, done)
 
-            step, buf, _, cache, _, done = jax.lax.while_loop(
-                cond, body, (jnp.zeros((), jnp.int32), buf, first_tok,
-                             cache, key, done))
-            return buf[:, :max_steps], step, cache
+            step, buf, lp_buf, _, cache, _, done = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), buf, lp_buf,
+                             first_tok, cache, key, done))
+            return buf[:, :max_steps], lp_buf[:, :max_steps], step, cache
 
         self._decode_loops[key_] = loop
         return loop
@@ -228,9 +234,13 @@ class InferenceEngine:
         seed: int = 0,
         eos_token_id: Optional[int] = None,
         pad_token_id: int = 0,
+        return_logprobs: bool = False,
     ) -> List[List[int]]:
         """Batched generation from token-id prompts. Prompts are left-padded
-        to a common bucketed length; per-row `kv_start` masks the padding."""
+        to a common bucketed length; per-row `kv_start` masks the padding.
+        return_logprobs=True returns (tokens, logprobs) lists instead —
+        logprob of each chosen token from the raw distribution, computed
+        in the same compiled dispatch."""
         B = len(prompts)
         assert B > 0, "empty prompt batch"
         lens = [len(p) for p in prompts]
@@ -257,16 +267,27 @@ class InferenceEngine:
         key = jax.random.PRNGKey(seed)
         next_tok = self._sample(logits, key, sampling)
 
+        def lp_of(lg, tok):
+            return jnp.take_along_axis(
+                jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1),
+                tok[:, None], axis=1)[:, 0]
+
+        first_lp = np.asarray(lp_of(logits, next_tok))
+
         if self.engine_cfg.device_decode_loop and max_new_tokens > 1:
             # one while_loop program: no host sync per token
             loop = self._get_decode_loop(max_new_tokens - 1, sampling)
             eos = -1 if eos_token_id is None else eos_token_id
-            buf, _, cache = loop(self.params, next_tok, cache, kv_start_j,
-                                 key, jnp.asarray(eos, jnp.int32))
+            buf, lp_buf, _, cache = loop(self.params, next_tok, cache,
+                                         kv_start_j, key,
+                                         jnp.asarray(eos, jnp.int32))
             gen = np.concatenate(
                 [np.asarray(next_tok)[:, None], np.asarray(buf)], axis=1)
+            gen_lp = np.concatenate(
+                [first_lp[:, None], np.asarray(lp_buf)], axis=1)
         else:
             out_tokens = [np.asarray(next_tok)]
+            out_lps = [first_lp]
             for step in range(1, max_new_tokens):
                 key, sub = jax.random.split(key)
                 logits, cache = self._decode(
@@ -276,16 +297,22 @@ class InferenceEngine:
                 next_tok = self._sample(logits, sub, sampling)
                 host_tok = np.asarray(next_tok)
                 out_tokens.append(host_tok)
+                out_lps.append(np.asarray(lp_of(logits, next_tok)))
                 if eos_token_id is not None and bool(
                         np.all(host_tok == eos_token_id)):
                     break
             gen = np.stack(out_tokens, axis=1)  # [B, steps]
+            gen_lp = np.stack(out_lps, axis=1)
         results = []
+        lp_results = []
         for i in range(B):
             row = gen[i].tolist()
             if eos_token_id is not None and eos_token_id in row:
                 row = row[: row.index(eos_token_id) + 1]
             results.append(row)
+            lp_results.append(gen_lp[i, :len(row)].tolist())
+        if return_logprobs:
+            return results, lp_results
         return results
 
     # -- stepwise API (for benchmarking / continuous batching) -------------

@@ -120,3 +120,30 @@ class TestQuikEngine:
                               EngineConfig(max_seq_len=64, prefill_chunk=8))
         out = eng.generate([[1, 2, 3]], max_new_tokens=4)
         assert len(out[0]) == 4
+
+
+class TestLogprobs:
+    def test_generate_return_logprobs_both_paths(self):
+        """return_logprobs: one logprob per emitted token, identical
+        tokens to the plain call, on the stepwise AND device-loop
+        paths."""
+        import numpy as np
+
+        from mixq_tpu.config import EngineConfig, ModelConfig
+        from mixq_tpu.models import DecoderSpecs
+        from mixq_tpu.models.decoder import init_decoder_params
+
+        cfg = ModelConfig.tiny()
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+        for dev in (False, True):
+            eng = InferenceEngine(
+                params, cfg, DecoderSpecs.fp16(),
+                EngineConfig(max_seq_len=64, prefill_chunk=8,
+                             device_decode_loop=dev))
+            plain = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=6)
+            toks, lps = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=6,
+                                     return_logprobs=True)
+            assert toks == plain
+            for t, l in zip(toks, lps):
+                assert len(l) == len(t)
+                assert all(np.isfinite(x) and x <= 0.0 for x in l)
