@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mixq_tpu.config import EngineConfig, ModelConfig
-from mixq_tpu.engine.sampling import SamplingParams, sample_per_slot
+from mixq_tpu.engine.sampling import (SamplingParams, chosen_logprob,
+                                      sample_per_slot)
 from mixq_tpu.engine.scheduler import make_scheduler
 from mixq_tpu.models.decoder import DecoderParams, DecoderSpecs, forward
 from mixq_tpu.models.layers import KVCache
@@ -112,10 +113,7 @@ class ContinuousBatchingEngine:
         @jax.jit
         def _sample_lp(logits, key, t, k, p):
             tok = sample_per_slot(logits, key, t, k, p)
-            lp = jnp.take_along_axis(
-                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
-                tok[:, None], axis=1)[:, 0]
-            return tok, lp
+            return tok, chosen_logprob(logits, tok)
 
         self._sample_lp = _sample_lp
         self._decode = _decode
@@ -205,8 +203,7 @@ class ContinuousBatchingEngine:
     def finished(self) -> Dict[int, List[int]]:
         """Pop finished request outputs."""
         out, self._done = self._done, {}
-        self._done_logprobs = {r: lp for r, lp in
-                               self._done_logprobs.items() if r not in out}
+        self._done_logprobs = {}     # populated in lockstep with _done
         return out
 
     def finished_records(self) -> Dict[int, Dict[str, list]]:
@@ -259,10 +256,16 @@ class ContinuousBatchingEngine:
                 return jax.ShapeDtypeStruct(x.shape, x.dtype,
                                             sharding=x.sharding)
             return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        ring = (self.cfg.sliding_window is not None
+                and not self.cache.head_major
+                and self.cfg.sliding_window_pattern == 1)
         for Tp in prompt_buckets:
+            # ring models prefill into a window+chunk-sized cache and
+            # slice back to Tp before the insert (_admit_many)
+            small_seq = Tp + (self.cfg.sliding_window if ring else 0)
             for k in group_sizes:
                 small = KVCache.create(
-                    self.cfg.num_hidden_layers, k, Tp,
+                    self.cfg.num_hidden_layers, k, small_seq,
                     self.cfg.num_key_value_heads, self.cfg.head_dim_,
                     jnp.dtype(self.ecfg.kv_dtype),
                     head_major=self.cache.head_major)
@@ -271,6 +274,16 @@ class ContinuousBatchingEngine:
                 self._prefill.lower(
                     self.params, aval((k, Tp), jnp.int32),
                     small_avals).compile()
+                if small_seq != Tp:
+                    cut = lambda a: a[:, :, :Tp]
+                    small = small._replace(
+                        k=cut(small.k), v=cut(small.v),
+                        k_scale=(cut(small.k_scale) if small.quantized
+                                 else None),
+                        v_scale=(cut(small.v_scale) if small.quantized
+                                 else None))
+                    small_avals = jax.tree.map(
+                        lambda x: aval(x.shape, x.dtype), small)
                 self._insert.lower(
                     jax.tree.map(cache_aval, self.cache),
                     small_avals, aval((k,), jnp.int32),
@@ -336,11 +349,7 @@ class ContinuousBatchingEngine:
             self._logprobs[rid].append(float(lp[slot]))
             state = self.sched.on_token(slot)
             if state == 1:
-                self._done[rid] = self._outputs.pop(rid)
-                self._done_logprobs[rid] = self._logprobs.pop(rid, [])
-                del self._slot_req[slot]
-                self._slot_sampling.pop(slot, None)
-                self._sampling_dev = None
+                self._finish_request(slot, rid)
             elif tok in self._slot_stop.get(slot, ()):
                 self.finish_slot(slot)
         return len(active)
@@ -372,9 +381,7 @@ class ContinuousBatchingEngine:
                                         decode_mesh=self.mesh)
                 last = logits[:, -1, :]
                 t2 = sample_per_slot(last, sub, temp, topk, topp)
-                lp2 = jnp.take_along_axis(
-                    jax.nn.log_softmax(last.astype(jnp.float32), axis=-1),
-                    t2[:, None], axis=1)[:, 0]
+                lp2 = chosen_logprob(last, t2)
                 tok = jnp.where(active, t2, tok)
                 # clamp: a slot that finishes mid-window keeps computing
                 # (static shapes) but must not index past the cache
@@ -437,11 +444,7 @@ class ContinuousBatchingEngine:
                 self.cur_tokens[slot] = tok
                 state = self.sched.on_token(slot)
                 if state == 1:
-                    self._done[rid] = self._outputs.pop(rid)
-                    self._done_logprobs[rid] = self._logprobs.pop(rid, [])
-                    del self._slot_req[slot]
-                    self._slot_sampling.pop(slot, None)
-                    self._sampling_dev = None
+                    self._finish_request(slot, rid)
                     running.discard(slot)
                 elif (tok in self._slot_stop.get(slot, ())
                       or (eos_token_id is not None
@@ -450,17 +453,23 @@ class ContinuousBatchingEngine:
                     running.discard(slot)
         return len(active)
 
-    def finish_slot(self, slot: int) -> None:
-        """Early-terminate (EOS) the request in `slot`."""
-        rid = self._slot_req.pop(slot, None)
-        if rid is None:
-            return
-        self.sched.finish(slot)
+    def _finish_request(self, slot: int, rid: int) -> None:
+        """Move a request's buffers to done and clear the slot state
+        (single path — budget, EOS, and stop finishes all route here)."""
+        self._done[rid] = self._outputs.pop(rid)
+        self._done_logprobs[rid] = self._logprobs.pop(rid, [])
+        self._slot_req.pop(slot, None)
         self._slot_sampling.pop(slot, None)
         self._slot_stop.pop(slot, None)
         self._sampling_dev = None
-        self._done[rid] = self._outputs.pop(rid)
-        self._done_logprobs[rid] = self._logprobs.pop(rid, [])
+
+    def finish_slot(self, slot: int) -> None:
+        """Early-terminate (EOS) the request in `slot`."""
+        rid = self._slot_req.get(slot)
+        if rid is None:
+            return
+        self.sched.finish(slot)
+        self._finish_request(slot, rid)
 
     def run_to_completion(
         self, sampling: SamplingParams = SamplingParams(),
@@ -532,12 +541,27 @@ class ContinuousBatchingEngine:
         for i, (_, p) in enumerate(rows):
             toks[i, :len(p) - 1] = p[:-1]  # right-pad; positions >= n-1
                                            # are garbage, masked by length
+        # ring (sliding-window, batch-major) models: the static wrap
+        # guard needs max_seq >= window + chunk even for this one-shot
+        # fresh prefill; allocate the slack and slice the written span
+        # back to Tp before the insert scatter
+        ring = (self.cfg.sliding_window is not None
+                and not self.cache.head_major
+                and self.cfg.sliding_window_pattern == 1)
+        small_seq = Tp + (self.cfg.sliding_window if ring else 0)
         small = KVCache.create(
-            self.cfg.num_hidden_layers, k_pad, Tp,
+            self.cfg.num_hidden_layers, k_pad, small_seq,
             self.cfg.num_key_value_heads, self.cfg.head_dim_,
             jnp.dtype(self.ecfg.kv_dtype),
             head_major=self.cache.head_major)
         _, small = self._prefill(self.params, jnp.asarray(toks), small)
+        if small_seq != Tp:
+            cut = (lambda a: a[:, :, :, :Tp]) if self.cache.head_major \
+                else (lambda a: a[:, :, :Tp])
+            small = small._replace(
+                k=cut(small.k), v=cut(small.v),
+                k_scale=(cut(small.k_scale) if small.quantized else None),
+                v_scale=(cut(small.v_scale) if small.quantized else None))
         self.cache = self._insert(
             self.cache, small,
             jnp.asarray([s for s, _ in rows], jnp.int32),

@@ -117,7 +117,8 @@ class InferenceEngine:
         # shard_map needs the sequence to divide evenly over the ring axis
         return T % self.mesh.shape[self.engine_cfg.ring_prefill_axis] == 0
 
-    def _get_decode_loop(self, max_steps: int, sp: SamplingParams):
+    def _get_decode_loop(self, max_steps: int, sp: SamplingParams,
+                         want_lp: bool = False):
         """One-program multi-token decode: lax.while_loop over decode steps
         with on-device sampling and all-rows-EOS early exit — the TPU-native
         decode shape (the stepwise path syncs the host every token for the
@@ -129,7 +130,7 @@ class InferenceEngine:
         must run once per full window, outside the per-step graph —
         KVCache docstring). Early exit granularity becomes R steps; rows
         already done keep emitting eos into the (R-padded) buffer."""
-        key_ = (max_steps, sp)
+        key_ = (max_steps, sp, want_lp)
         fn = self._decode_loops.get(key_)
         if fn is not None:
             return fn
@@ -157,12 +158,13 @@ class InferenceEngine:
                 last = logits[:, -1, :]
                 tok = sample(last, sub, sp)
                 tok = jnp.where(done, eos_id, tok)
-                lp = jnp.take_along_axis(
-                    jax.nn.log_softmax(last.astype(jnp.float32), axis=-1),
-                    jnp.maximum(tok, 0)[:, None], axis=1)[:, 0]
                 done = done | (tok == eos_id)
                 buf = buf.at[:, step].set(tok)
-                lp_buf = lp_buf.at[:, step].set(lp)
+                if want_lp:     # static: baked out of the no-logprob trace
+                    from mixq_tpu.engine.sampling import chosen_logprob
+
+                    lp_buf = lp_buf.at[:, step].set(
+                        chosen_logprob(last, jnp.maximum(tok, 0)))
                 return (step + 1, buf, lp_buf, tok, cache, key, done), None
 
             def body(c):
@@ -239,8 +241,9 @@ class InferenceEngine:
         """Batched generation from token-id prompts. Prompts are left-padded
         to a common bucketed length; per-row `kv_start` masks the padding.
         return_logprobs=True returns (tokens, logprobs) lists instead —
-        logprob of each chosen token from the raw distribution, computed
-        in the same compiled dispatch."""
+        logprob of each chosen token from the raw distribution (inside
+        the compiled program on the device-loop path; one extra gather
+        per step on the stepwise path). The plain call pays nothing."""
         B = len(prompts)
         assert B > 0, "empty prompt batch"
         lens = [len(p) for p in prompts]
@@ -264,27 +267,26 @@ class InferenceEngine:
             self.params, jnp.asarray(tokens), cache, kv_start_j
         )
 
+        from mixq_tpu.engine.sampling import chosen_logprob
+
         key = jax.random.PRNGKey(seed)
         next_tok = self._sample(logits, key, sampling)
-
-        def lp_of(lg, tok):
-            return jnp.take_along_axis(
-                jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1),
-                tok[:, None], axis=1)[:, 0]
-
-        first_lp = np.asarray(lp_of(logits, next_tok))
+        first_lp = (np.asarray(chosen_logprob(logits, next_tok))
+                    if return_logprobs else None)
 
         if self.engine_cfg.device_decode_loop and max_new_tokens > 1:
             # one while_loop program: no host sync per token
-            loop = self._get_decode_loop(max_new_tokens - 1, sampling)
+            loop = self._get_decode_loop(max_new_tokens - 1, sampling,
+                                         want_lp=return_logprobs)
             eos = -1 if eos_token_id is None else eos_token_id
             buf, lp_buf, _, cache = loop(self.params, next_tok, cache,
                                          kv_start_j, key,
                                          jnp.asarray(eos, jnp.int32))
             gen = np.concatenate(
                 [np.asarray(next_tok)[:, None], np.asarray(buf)], axis=1)
-            gen_lp = np.concatenate(
-                [first_lp[:, None], np.asarray(lp_buf)], axis=1)
+            if return_logprobs:
+                gen_lp = np.concatenate(
+                    [first_lp[:, None], np.asarray(lp_buf)], axis=1)
         else:
             out_tokens = [np.asarray(next_tok)]
             out_lps = [first_lp]
@@ -297,12 +299,15 @@ class InferenceEngine:
                 next_tok = self._sample(logits, sub, sampling)
                 host_tok = np.asarray(next_tok)
                 out_tokens.append(host_tok)
-                out_lps.append(np.asarray(lp_of(logits, next_tok)))
+                if return_logprobs:
+                    out_lps.append(
+                        np.asarray(chosen_logprob(logits, next_tok)))
                 if eos_token_id is not None and bool(
                         np.all(host_tok == eos_token_id)):
                     break
             gen = np.stack(out_tokens, axis=1)  # [B, steps]
-            gen_lp = np.stack(out_lps, axis=1)
+            if return_logprobs:
+                gen_lp = np.stack(out_lps, axis=1)
         results = []
         lp_results = []
         for i in range(B):
@@ -310,7 +315,8 @@ class InferenceEngine:
             if eos_token_id is not None and eos_token_id in row:
                 row = row[: row.index(eos_token_id) + 1]
             results.append(row)
-            lp_results.append(gen_lp[i, :len(row)].tolist())
+            if return_logprobs:
+                lp_results.append(gen_lp[i, :len(row)].tolist())
         if return_logprobs:
             return results, lp_results
         return results

@@ -47,6 +47,14 @@ def sample(
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def chosen_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
+    """Log-probability of the chosen tokens under the RAW distribution
+    (the standard serving report): logits [B, V], tok [B] -> [B] f32."""
+    return jnp.take_along_axis(
+        jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+        tok[:, None], axis=1)[:, 0]
+
+
 def sample_per_slot(
     logits: jax.Array,             # [B, V] f32
     key: jax.Array,

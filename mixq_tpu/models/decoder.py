@@ -399,18 +399,15 @@ def forward(
     # need the full history
     ring = (cfg.sliding_window is not None and not cache.head_major
             and cfg.sliding_window_pattern == 1)
-    if ring and T > cache.max_seq:
-        # a chunk longer than the ring overwrites ITS OWN in-chunk
-        # positions mid-write — unconditionally broken
+    if ring and T > 1 and cache.max_seq < cfg.sliding_window + T:
+        # a prefill chunk that straddles the wrap point would overwrite
+        # positions still inside an in-chunk query's window (length is
+        # traced data, so the guard must be static and conservative; the
+        # batching pool sizes its one-shot prefill caches to clear it —
+        # _admit_many)
         raise ValueError(
-            f"ring KV cache smaller than the prefill chunk "
-            f"({cache.max_seq} < {T})")
-    # NOTE a MULTI-chunk prefill that wraps a window-sized ring
-    # (length + T > max_seq with length > 0) would overwrite positions
-    # still inside in-chunk windows; length is traced data so it can't be
-    # guarded statically. The engines never do this: the uniform engine
-    # sizes caches for the full sequence, and the batching pool prefills
-    # each prompt in ONE shot into a fresh chunk-sized cache.
+            f"ring KV cache needs max_seq >= sliding_window + chunk "
+            f"({cache.max_seq} < {cfg.sliding_window} + {T})")
 
     from mixq_tpu.models.layers import alibi_slopes
     alibi = alibi_slopes(cfg.num_attention_heads) if cfg.alibi else None
