@@ -140,8 +140,6 @@ class DecoderSpecs:
     #              natively by the MXU (no per-element widening)
     #   "xla_int8" both attention contractions int8 x int8 (q and probs
     #              absmax-quantized; requires int8 KV) — no K/V widening
-    #   "pallas"   fused VPU kernel (T=1 steps; falls back otherwise —
-    #              measured VPU-bound, superseded by "flash")
     #   "auto"     (default) "flash" on TPU when the kernel supports the
     #              model/shapes (ops/pallas/flash_decode.use_head_major_cache),
     #              "xla" otherwise
@@ -468,16 +466,12 @@ def forward(
             jnp.asarray(kv_len, jnp.int32) - cfg.sliding_window, 0)
         flash_start = ws if kv_start is None else jnp.maximum(kv_start, ws)
 
-    use_fused_attn = (
-        specs.attn_impl == "pallas" and T == 1 and not head_major
-        and cfg.sliding_window is None and alibi is None
-        and jax.default_backend() == "tpu"
-    )
-    if use_fused_attn:
-        from mixq_tpu.ops.pallas.decode_attention import (
-            decode_attention, decode_attention_supported)
-
-        use_fused_attn = decode_attention_supported(cache.k[0])
+    if specs.attn_impl == "pallas":
+        raise ValueError(
+            'attn_impl="pallas" (ops/pallas/decode_attention.py) was '
+            'measured VPU-bound and superseded by attn_impl="flash" '
+            "(ops/pallas/flash_decode.py); the old kernel is kept as a "
+            "tests-only reference implementation")
 
     use_ring_prefill = (
         ring_axis is not None and T_ > 1 and slot_lengths is None
@@ -537,10 +531,6 @@ def forward(
             return attend(q, k_new, v_new, q_slot, kv_len,
                           kv_start=kv_start,
                           sliding_window=cfg.sliding_window, alibi=alibi)
-        if use_fused_attn:
-            out = decode_attention(q[:, 0], k_c, v_c, kv_len, ks_c, vs_c,
-                                   kv_start=kv_start)
-            return out[:, None]
         if T_ > 512:   # long prefill: bound score memory to O(chunk * S)
             from mixq_tpu.models.layers import attend_chunked
 

@@ -1,4 +1,15 @@
-"""Fused decode attention over the (optionally int8) KV cache.
+"""SUPERSEDED — tests-only reference implementation.
+
+Measured VPU-bound on hardware (31.8 ms at 7B B=512 vs 26.5 ms xla_int8,
+PROFILE_r02.md) and replaced by the MXU flash-decode kernel
+(ops/pallas/flash_decode.py, attn_impl="flash"). No model path dispatches
+here anymore (attn_impl="pallas" now raises); the kernel is kept because
+its differential tests document the VPU broadcast-multiply-reduce
+formulation that the profile work measured against.
+
+Original design notes:
+
+Fused decode attention over the (optionally int8) KV cache.
 
 The decode step is HBM-bandwidth-bound and the KV cache is a large share of
 the bytes. The XLA path reads int8 KV through an int8->bf16 convert that
