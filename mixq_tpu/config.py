@@ -197,6 +197,15 @@ class EngineConfig:
     # on device, early exit when every row hit EOS — no host round-trip per
     # token (the stepwise path fetches sampled tokens every step)
     device_decode_loop: bool = True
+    # continuous-batching speculative decoding (prompt-lookup n-gram
+    # drafts, engine/speculative.py): spec_k > 1 makes every CB decode
+    # step a T=spec_k verify forward — greedy rows draft from their own
+    # history and accept the matching prefix (bit-identical to plain
+    # greedy), sampled rows ride along emitting one token. Requires a
+    # batch-major cache (attn_impl "xla"/"xla_int8"; "auto" resolves
+    # batch-major when spec_k > 1) and no sliding window.
+    spec_k: int = 0
+    spec_ngram: int = 3
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

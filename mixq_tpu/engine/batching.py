@@ -115,6 +115,26 @@ class ContinuousBatchingEngine:
             tok = sample_per_slot(logits, key, t, k, p)
             return tok, chosen_logprob(logits, tok)
 
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def _verify(params, tokens, cache, slot_lengths, key, t, k, p):
+            """Speculative-verify step: one T=spec_k forward over all
+            slots (row b's tokens at positions slot_lengths[b]..+k-1).
+            Returns per-position greedy continuations + their logprobs
+            (the greedy rows' acceptance material) and the position-0
+            per-slot sample (what a plain decode step would emit — so
+            sampled rows ride the same program)."""
+            logits, cache = forward(params, tokens, cache, specs_, mc,
+                                    slot_lengths=slot_lengths,
+                                    decode_mesh=mesh)
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,k]
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            pred_lp = jnp.take_along_axis(
+                lsm, preds[..., None], axis=-1)[..., 0]            # [B,k]
+            s_tok = sample_per_slot(logits[:, 0], key, t, k, p)
+            s_lp = chosen_logprob(logits[:, 0], s_tok)
+            return preds, pred_lp, s_tok, s_lp, cache
+
+        self._verify = _verify
         self._sample_lp = _sample_lp
         self._decode = _decode
         self._prefill = _prefill
@@ -126,6 +146,22 @@ class ContinuousBatchingEngine:
         hm = use_head_major_cache(
             specs_.attn_impl, mc, self.max_seq,
             jnp.dtype(self.ecfg.kv_dtype).itemsize)
+        if self.ecfg.spec_k > 1:
+            # speculative verify is a T=k mid-sequence slot write — the
+            # head-major flash layout and per-row ring wraps don't serve
+            # it (KVCache.update_layer_slots)
+            if specs_.attn_impl == "flash":
+                raise ValueError(
+                    'spec_k > 1 needs a batch-major cache: use attn_impl '
+                    '"xla"/"xla_int8"/"auto" (not "flash")')
+            if mc.sliding_window is not None:
+                raise ValueError(
+                    "spec_k > 1 does not support sliding-window models")
+            if params.stacked is not None:
+                raise ValueError(
+                    "spec_k > 1 needs per-layer params (the stacked scan "
+                    "body's slot write is T=1-shaped)")
+            hm = False
         from mixq_tpu.ops.pallas.flash_decode import DEFAULT_TAIL_R
 
         self.cache = KVCache.create(
@@ -152,9 +188,13 @@ class ContinuousBatchingEngine:
         self._done: Dict[int, List[int]] = {}
         self._done_logprobs: Dict[int, List[float]] = {}
         self._slot_req: Dict[int, int] = {}
+        self._slot_hist: Dict[int, List[int]] = {}  # prompt tokens (spec
+                                                    # drafting history base)
         self._next_id = 0
         self._key = jax.random.PRNGKey(0)
         self._sampling_dev = None     # cached per-slot sampling arrays
+        self.spec_stats = {"forwards": 0, "drafted": 0, "accepted": 0,
+                           "emitted": 0}
 
     # -- request API -------------------------------------------------------
 
@@ -294,6 +334,15 @@ class ContinuousBatchingEngine:
             self.params, aval((self.n_slots, 1), jnp.int32), cache_avals,
             aval((self.n_slots,), jnp.int32)).compile()
         n += 1
+        if self.ecfg.spec_k > 1:
+            self._verify.lower(
+                self.params, aval((self.n_slots, self.ecfg.spec_k),
+                                  jnp.int32),
+                cache_avals, aval((self.n_slots,), jnp.int32),
+                aval((2,), jnp.uint32), aval((self.n_slots,), jnp.float32),
+                aval((self.n_slots,), jnp.int32),
+                aval((self.n_slots,), jnp.float32)).compile()
+            n += 1
         window, _ = self._get_window()
         window.lower(
             self.params, aval((self.n_slots,), jnp.int32), cache_avals,
@@ -352,6 +401,89 @@ class ContinuousBatchingEngine:
                 self._finish_request(slot, rid)
             elif tok in self._slot_stop.get(slot, ()):
                 self.finish_slot(slot)
+        return len(active)
+
+    # -- speculative decoding ------------------------------------------------
+
+    def step_spec(self, sampling: SamplingParams = SamplingParams(),
+                  eos_token_id: Optional[int] = None) -> int:
+        """One speculative serving step: admit, then a T=spec_k verify
+        forward over all slots. Greedy slots feed [cur_token, n-gram
+        draft...] and emit the greedy continuation's matching prefix + 1
+        (bit-identical to plain greedy decode — the model's own argmax
+        decides acceptance; see engine/speculative.py); sampled slots and
+        slots with no draft emit one token, exactly like step(). Returns
+        the number of active slots."""
+        k = self.ecfg.spec_k
+        assert k > 1, "step_spec needs EngineConfig.spec_k > 1"
+        from mixq_tpu.engine.speculative import propose_ngram
+
+        admits = self.sched.admit()
+        if admits:
+            self._admit_many(admits)
+        active = self.sched.active_slots()
+        if not active:
+            return 0
+
+        feed = np.zeros((self.n_slots, k), np.int32)
+        feed[:, 0] = self.cur_tokens
+        drafts: Dict[int, List[int]] = {}
+        for slot in active:
+            sp = self._slot_sampling.get(slot) or sampling
+            if sp.temperature > 0.0:
+                continue                     # sampled row: no draft
+            rid = self._slot_req[slot]
+            hist = self._slot_hist[slot] + self._outputs[rid]
+            draft = propose_ngram(hist, self.ecfg.spec_ngram, k - 1)
+            if draft:
+                feed[slot, 1:1 + len(draft)] = draft
+                drafts[slot] = draft
+
+        active_np = np.zeros((self.n_slots,), bool)
+        active_np[active] = True
+        self._key, sub = jax.random.split(self._key)
+        preds_d, plp_d, s_tok_d, s_lp_d, self.cache = self._verify(
+            self.params, jnp.asarray(feed), self.cache,
+            jnp.asarray(self.lengths), sub,
+            *self._sampling_arrays(sampling))
+        preds = np.asarray(preds_d)          # [n_slots, k]
+        plp = np.asarray(plp_d)
+        s_tok = np.asarray(s_tok_d)
+        s_lp = np.asarray(s_lp_d)
+        self.spec_stats["forwards"] += 1
+
+        for slot in active:
+            rid = self._slot_req[slot]
+            sp = self._slot_sampling.get(slot) or sampling
+            draft = drafts.get(slot, [])
+            if sp.temperature > 0.0:
+                emitted = [(int(s_tok[slot]), float(s_lp[slot]))]
+            else:
+                a = 0
+                while a < len(draft) and int(preds[slot, a]) == draft[a]:
+                    a += 1
+                # emitted greedy tokens are preds[:a+1] — the model's own
+                # continuation after each accepted prefix (position j's
+                # argmax consumed feed[:j+1])
+                emitted = [(int(preds[slot, j]), float(plp[slot, j]))
+                           for j in range(a + 1)]
+                self.spec_stats["drafted"] += len(draft)
+                self.spec_stats["accepted"] += a
+            self.spec_stats["emitted"] += len(emitted)
+            for tok, lp in emitted:
+                self._outputs[rid].append(tok)
+                self._logprobs[rid].append(float(lp))
+                self.lengths[slot] += 1
+                self.cur_tokens[slot] = tok
+                state = self.sched.on_token(slot)
+                if state == 1:               # budget: drop any remainder
+                    self._finish_request(slot, rid)
+                    break
+                if (tok in self._slot_stop.get(slot, ())
+                        or (eos_token_id is not None
+                            and tok == eos_token_id)):
+                    self.finish_slot(slot)
+                    break
         return len(active)
 
     # -- device decode window ------------------------------------------------
@@ -461,6 +593,7 @@ class ContinuousBatchingEngine:
         self._slot_req.pop(slot, None)
         self._slot_sampling.pop(slot, None)
         self._slot_stop.pop(slot, None)
+        self._slot_hist.pop(slot, None)
         self._sampling_dev = None
 
     def finish_slot(self, slot: int) -> None:
@@ -481,9 +614,12 @@ class ContinuousBatchingEngine:
         stepwise decode per iteration."""
         results: Dict[int, List[int]] = {}
         steps = 0
-        use_window = self.ecfg.device_decode_loop
+        use_spec = self.ecfg.spec_k > 1
+        use_window = self.ecfg.device_decode_loop and not use_spec
         while self.has_work and steps < max_steps:
-            if use_window:
+            if use_spec:
+                self.step_spec(sampling, eos_token_id=eos_token_id)
+            elif use_window:
                 self.step_window(sampling, eos_token_id=eos_token_id)
             else:
                 self.step(sampling)
@@ -522,6 +658,7 @@ class ContinuousBatchingEngine:
             self.lengths[slot] = n - 1
             self.cur_tokens[slot] = prompt[-1]
             self._slot_req[slot] = rid
+            self._slot_hist[slot] = prompt    # spec drafting history base
             self._slot_sampling[slot] = self._req_sampling.pop(rid, None)
             self._slot_stop[slot] = self._req_stop.pop(rid, frozenset())
             self._sampling_dev = None

@@ -309,9 +309,12 @@ def forward(
                                    # "full": return the raw input activations
                                    # (real-activation kernel benching)
     slot_lengths: Optional[jax.Array] = None,  # [B] — per-slot sequence
-                                   # positions (continuous batching). T must
-                                   # be 1; KV writes scatter per row and
-                                   # cache.length is ignored.
+                                   # positions (continuous batching). KV
+                                   # writes scatter per row and cache.length
+                                   # is ignored. T=1 is the decode step;
+                                   # T>1 is a speculative-verify step (row
+                                   # b's tokens at slot_lengths[b]..+T-1,
+                                   # batch-major caches only).
     ring_mesh=None,                # static (close over via partial): Mesh +
     ring_axis: Optional[str] = None,   # axis name for sequence-parallel
                                    # ring-attention prefill. Only valid for a
@@ -340,8 +343,17 @@ def forward(
         x = x * jnp.asarray(cfg.embed_multiplier, x.dtype)
 
     if slot_lengths is not None:
-        assert T == 1, "slot mode is a decode step (T=1)"
-        q_slot = slot_lengths[:, None]                         # [B, 1]
+        if T > 1:
+            # speculative-verify step: row b's T tokens sit at positions
+            # slot_lengths[b] .. +T-1 (batch-major caches only — see
+            # KVCache.update_layer_slots; the stacked scan body's slot
+            # write is T=1-shaped)
+            if cache.head_major or params.stacked is not None:
+                raise NotImplementedError(
+                    "T>1 slot mode (speculative verify) needs a "
+                    "batch-major cache and the python-loop runtime")
+        q_slot = (slot_lengths[:, None]
+                  + jnp.arange(T, dtype=jnp.int32)[None])      # [B, T]
         rope_pos = q_slot
     else:
         q_slot = cache.length + jnp.arange(T, dtype=jnp.int32)
@@ -384,7 +396,7 @@ def forward(
     all_stats = {}
     quantized_kv = cache.quantized
     T_ = T
-    kv_len = (slot_lengths + 1 if slot_lengths is not None
+    kv_len = (slot_lengths + T_ if slot_lengths is not None
               else cache.length + T_)
 
     # sliding-window models reclaim KV slots (ring buffer): a window-sized

@@ -497,11 +497,38 @@ class KVCache:
         k_new [B, 1, n_kv, hd] scattered to [layer, b, slot_lengths[b]].
         Tail-staged pools stage in the window buffer instead (the big
         per-row scatter is the whole-array-pass cost flush_tail
-        amortizes)."""
-        if self.k_tail is not None and k_new.shape[1] == 1 and not ring:
+        amortizes).
+
+        T > 1 (speculative-verify steps): each row's T tokens scatter to
+        its own span [slot_lengths[b], slot_lengths[b] + T); rows whose
+        span would run past max_seq drop the overflow (mode="drop") —
+        the engine never accepts tokens past a row's budget anyway.
+        Batch-major caches only (the head-major flash layout's T>1 path
+        serves fresh-cache prefill, and ring wrap points are per-row)."""
+        T = k_new.shape[1]
+        if self.k_tail is not None and T == 1 and not ring:
             return self._update_tail_slots(layer, k_new, v_new, slot_lengths)
         B = k_new.shape[0]
         rows = jnp.arange(B)
+        if T > 1:
+            if self.head_major or ring:
+                raise NotImplementedError(
+                    "T>1 slot-mode KV writes (speculative verify) need a "
+                    "batch-major, non-ring cache")
+            pos = slot_lengths[:, None] + jnp.arange(T,
+                                                     dtype=jnp.int32)[None]
+            kv_at = lambda buf, val: buf.at[layer, rows[:, None], pos].set(
+                val.astype(buf.dtype), mode="drop")
+            if self.quantized:
+                qk, sk = Q.quantize_kv(k_new)       # [B,T,h,d] / [B,T,h]
+                qv, sv = Q.quantize_kv(v_new)
+                return self._replace(
+                    k=kv_at(self.k, qk), v=kv_at(self.v, qv),
+                    k_scale=kv_at(self.k_scale, sk),
+                    v_scale=kv_at(self.v_scale, sv),
+                )
+            return self._replace(k=kv_at(self.k, k_new),
+                                 v=kv_at(self.v, v_new))
         if ring:
             slot_lengths = slot_lengths % self.max_seq
         hm = self.head_major
