@@ -102,10 +102,108 @@ def bench_activations(args):
     return results
 
 
+def bench_gemm_matrix(args):
+    """VERDICT r2 item 3/4 evidence matrix: the unified mix_gemm kernel vs
+    XLA at decode shapes — M in {1, 64, 256}, the 7B K/N pairs — for W8A8
+    (+outlier+silu epilogue), packed W4A8 (halved HBM weight read), and
+    W8A16 weight-only. One JSON row per (shape, M); pallas/xla/naive
+    microseconds + effective weight-stream GB/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from mixq_tpu.ops import quant as Q
+    from mixq_tpu.ops.pallas.mix_gemm import mix_gemm
+
+    shapes = [("qkv", 4096, 4096), ("up", 4096, 11008),
+              ("down", 11008, 4096)]
+    Ms = [int(m) for m in args.m_list.split(",")]
+    Bo = 128
+    on_tpu = jax.default_backend() == "tpu"
+    results = []
+    for name, K, N in shapes:
+        w = jax.random.normal(jax.random.PRNGKey(1), (K, N)) * 0.02
+        qw, ws = Q.quantize_weight_int8(w)
+        qw4, ws4 = Q.quantize_weight_int4(w)
+        qw4p = Q.pack_int4(qw4)
+        for M in Ms:
+            x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.float32)
+            qx, xs = Q.quantize_act_per_token(x)
+            xo = jnp.zeros((M, Bo), jnp.bfloat16)
+            wo = jnp.zeros((Bo, N), jnp.bfloat16)
+            t0 = jnp.zeros((), jnp.int32)
+
+            def dep(t, y):      # data dependence XLA cannot fold away
+                return t + (y.ravel()[0].astype(jnp.float32) > 1e30
+                            ).astype(t.dtype)
+
+            @jax.jit
+            def xla_w8(t):
+                acc = jax.lax.dot_general(
+                    jnp.bitwise_xor(qx, t.astype(jnp.int8)), qw,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                y = acc.astype(jnp.float32) * xs * ws[None, :]
+                y = y + xo.astype(jnp.float32) @ wo.astype(jnp.float32)
+                y = y * jax.nn.sigmoid(y)
+                return dep(t, y)
+
+            @jax.jit
+            def pal_w8(t):
+                y = mix_gemm(jnp.bitwise_xor(qx, t.astype(jnp.int8)), qw,
+                             xs, ws, xo, wo, fuse="silu")
+                return dep(t, y)
+
+            @jax.jit
+            def xla_w4(t):
+                # the XLA W4 path must UNPACK (materializes [K, N] int8)
+                acc = jax.lax.dot_general(
+                    jnp.bitwise_xor(qx, t.astype(jnp.int8)),
+                    Q.unpack_int4(qw4p),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                y = acc.astype(jnp.float32) * xs * ws4[None, :]
+                return dep(t, y)
+
+            @jax.jit
+            def pal_w4(t):
+                y = mix_gemm(jnp.bitwise_xor(qx, t.astype(jnp.int8)), qw4p,
+                             xs, ws4)
+                return dep(t, y)
+
+            row = {"shape": name, "M": M, "K": K, "N": N,
+                   "w8_xla_us": round(
+                       time_chained(xla_w8, t0, args.steps) * 1e6, 1)}
+            if on_tpu:
+                row["w8_pallas_us"] = round(
+                    time_chained(pal_w8, t0, args.steps) * 1e6, 1)
+            row["w4_xla_unpack_us"] = round(
+                time_chained(xla_w4, t0, args.steps) * 1e6, 1)
+            if on_tpu:
+                row["w4_pallas_packed_us"] = round(
+                    time_chained(pal_w4, t0, args.steps) * 1e6, 1)
+                row["w8_speedup"] = round(
+                    row["w8_xla_us"] / row["w8_pallas_us"], 2)
+                row["w4_speedup_vs_w8xla"] = round(
+                    row["w8_xla_us"] / row["w4_pallas_packed_us"], 2)
+                row["w8_pallas_wgbps"] = round(
+                    K * N / row["w8_pallas_us"] / 1e3, 1)
+                row["w4_pallas_wgbps_effective"] = round(
+                    K * N / 2 / row["w4_pallas_packed_us"] / 1e3, 1)
+            results.append(row)
+            print(json.dumps(row), flush=True)
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(results, f, indent=1)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=256)
+    ap.add_argument("--m_list", default="1,64,256")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--matrix", action="store_true",
+                    help="mix_gemm-vs-XLA decode-shape evidence matrix")
     ap.add_argument("--activations", default=None,
                     help=".npz from examples/dump_activations.py")
     ap.add_argument("--budgets", default="0,64,128,256")
@@ -118,6 +216,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.matrix:
+        bench_gemm_matrix(args)
+        return
     if args.activations:
         bench_activations(args)
         return

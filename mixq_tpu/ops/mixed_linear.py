@@ -166,6 +166,32 @@ def mixed_linear_prepared(
 ) -> jax.Array:
     """Mixed int GEMM on a pre-quantized activation (the reference's
     `forward_without_precondition[FusedSilu]`, linear.py:292-376)."""
+    if (params.q_weight.dtype == jnp.uint8 and spec.w_bit == 4
+            and params.w_scale.ndim == 1
+            and jax.default_backend() == "tpu"):
+        # packed-W4 hot path: the Pallas kernel unpacks nibbles in its
+        # prologue so the HBM weight read is HALF of W8's — the int4
+        # bandwidth win the XLA path forfeits (unpack materializes a
+        # [K, N] int8 copy, and the relay cannot move jnp.int4 buffers).
+        # mixlib.int4FusedDequantize[Silu] equivalent (linear.py:259).
+        from mixq_tpu.ops.pallas.mix_gemm import mix_gemm
+
+        lead = act.q_x.shape[:-1]
+        K = act.q_x.shape[-1]
+        fuse_in_kernel = spec.fuse if params.bias is None else "none"
+        y = mix_gemm(
+            act.q_x.reshape(-1, K), params.q_weight,
+            act.x_scale.reshape(-1, 1), params.w_scale,
+            (act.x_outlier.reshape(-1, act.x_outlier.shape[-1])
+             if act.x_outlier is not None and params.w_outlier is not None
+             else None),
+            params.w_outlier,
+            fuse=fuse_in_kernel, out_dtype=spec.odtype,
+        ).reshape(*lead, params.q_weight.shape[1])
+        if params.bias is not None:
+            y = y.astype(jnp.float32) + params.bias.astype(jnp.float32)
+            y = _apply_fuse(y, spec.fuse, spec.odtype)
+        return y
     q_w = int_weight(params, spec)
     outlier_part = None
     if act.x_outlier is not None and params.w_outlier is not None:
@@ -269,8 +295,28 @@ import os as _os
 # native jnp.int4 weight storage (packed in HBM on TPU). Some PJRT backends
 # (notably the axon relay used in CI) cannot transfer S4 buffers; set
 # MIXQ_INT4_NATIVE=0 to store int4 values widened to int8 instead (same
-# math, no bandwidth win at rest).
+# math, no bandwidth win at rest) — or MIXQ_W4_PACKED=1 to store them as
+# packed uint8 (2/byte, halves layout) consumed by the Pallas mix_gemm
+# kernel's unpack prologue: uint8 transfers fine through the relay AND
+# keeps the halved HBM weight read.
 _INT4_NATIVE = _os.environ.get("MIXQ_INT4_NATIVE", "1") == "1"
+_W4_PACKED = _os.environ.get("MIXQ_W4_PACKED", "0") == "1"
+
+
+def _default_w4_pack():
+    if _W4_PACKED:
+        return "packed"
+    return _INT4_NATIVE
+
+
+def _store_w4(q_w: jax.Array, pack) -> jax.Array:
+    """Apply the chosen int4 at-rest storage to an int8-valued [-8,7] weight:
+    True -> jnp.int4, "packed" -> uint8 2/byte (halves), False -> int8."""
+    if pack == "packed":
+        return Q.pack_int4(q_w)
+    if pack:
+        return q_w.astype(jnp.int4)
+    return q_w
 
 
 def from_float(
@@ -311,23 +357,29 @@ def from_float(
             w_for_quant, bits=spec.w_bit, group_size=spec.group_size)
         if spec.w_bit == 4:
             if pack is None:
-                pack = _INT4_NATIVE
-            if pack:
-                q_w = q_w.astype(jnp.int4)
+                pack = _default_w4_pack()
+            if pack == "packed":
+                pack = True if _INT4_NATIVE else False
+                # grouped scales aren't served by the mix_gemm kernel yet;
+                # fall back to the non-packed storage choices
+            q_w = _store_w4(q_w, pack)
     elif spec.w_bit == 8:
         q_w, w_scale = Q.quantize_weight_int8(w_for_quant)
     elif spec.w_bit == 4:
         q_w, w_scale = Q.quantize_weight_int4(w_for_quant)
         if pack is None:
-            pack = _INT4_NATIVE
-        if pack:
-            q_w = q_w.astype(jnp.int4)   # native packed int4 storage
+            pack = _default_w4_pack()
+        q_w = _store_w4(q_w, pack)
     else:
         raise ValueError(f"unsupported w_bit {spec.w_bit}")
 
     reduced_w = None
     if spec.version == "QUIK":
-        reduced_w = Q.reduced_weight_rowsum(q_w.astype(jnp.int8))
+        # column sums need the int VALUES — unpack packed-uint8 storage
+        # first (a raw astype would sum packed bytes)
+        q_vals = (Q.unpack_int4(q_w) if q_w.dtype == jnp.uint8
+                  else q_w.astype(jnp.int8))
+        reduced_w = Q.reduced_weight_rowsum(q_vals)
 
     return MixLinearParams(
         q_weight=q_w,

@@ -1,0 +1,172 @@
+"""Unified mixed-precision GEMM + epilogue kernel (decode-shape tuned).
+
+The one-kernel form of the reference's fused linears —
+`mixlib.int8FusedDequantize[Silu]` (linear.py:251,283), the int4 variant
+(`mixlib.int4FusedDequantize`, linear.py:259, incl. its 2-nibbles/byte
+packing, linear.py:14-23) and `EETQ.w8_a16_gemm` (linear.py:178-184) —
+re-attempted with the flash-decode v4 lessons (PROFILE_r02.md):
+
+  * ALL compute is one MXU dot per block (+ one small outlier dot); the
+    only VPU work is the dequant scale multiply on the [bm, bn] output
+    tile and, for W4, the nibble unpack of the weight block.
+  * The grid streams the WEIGHT once (the big operand at decode shapes:
+    M <= 256, K x N >= 16M) — DMA-roofline target is K*N*w_bytes/BW.
+  * W4 weights arrive PACKED (uint8, 2 values/byte, halves layout:
+    ops/quant.py pack_int4) and are unpacked in the prologue after the
+    VMEM load — the HBM read is half of W8's, which XLA cannot do on
+    this stack (the relay cannot transfer jnp.int4 buffers; a widened
+    int8 store forfeits the whole point of int4).
+
+Modes (static, from dtypes):
+  q_x int8  + w int8          -> W8A8  int8 dot, scales epilogue
+  q_x int8  + w uint8(packed) -> W4A8/W4A4 unpack prologue, int8 dot
+  x   bf16  + w int8          -> W8A16 weight-dequant prologue, bf16 dot
+  x   bf16  + w uint8(packed) -> W4A16 unpack+dequant prologue, bf16 dot
+plus optional fp outlier GEMM term and silu/gelu fusion — the full
+epilogue of the reference's `forward_without_precondition[FusedSilu]`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _unpack_w4(p: jax.Array) -> jax.Array:
+    """[K/2, bn] uint8 (halves layout) -> [K, bn] int8 in [-8, 7]."""
+    lo = (p & 0x0F).astype(jnp.int8)
+    hi = ((p >> 4) & 0x0F).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, *, fuse: str,
+            w4: bool, a16: bool):
+    w = _unpack_w4(w_ref[:]) if w4 else w_ref[:]
+    if a16:
+        # weight-only: dequant into the operand, bf16 MXU dot
+        wd = w.astype(jnp.bfloat16) * ws_ref[:].astype(jnp.bfloat16)
+        y = jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+    if fuse == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif fuse in ("gelu", "gelu_new"):
+        y = jax.nn.gelu(y, approximate=fuse == "gelu_new")
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _kernel_outlier(x_ref, w_ref, xs_ref, ws_ref, xo_ref, wo_ref, out_ref,
+                    *, fuse: str, w4: bool, a16: bool):
+    w = _unpack_w4(w_ref[:]) if w4 else w_ref[:]
+    if a16:
+        wd = w.astype(jnp.bfloat16) * ws_ref[:].astype(jnp.bfloat16)
+        y = jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+    y = y + jnp.dot(xo_ref[:].astype(jnp.float32),
+                    wo_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    if fuse == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif fuse in ("gelu", "gelu_new"):
+        y = jax.nn.gelu(y, approximate=fuse == "gelu_new")
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fuse", "out_dtype", "block_m", "block_n", "interpret"))
+def mix_gemm(
+    x: jax.Array,                   # int8 [M, K] (quantized act) | bf16 [M, K]
+    w: jax.Array,                   # int8 [K, N] | uint8 [K/2, N] (W4 packed)
+    x_scale: Optional[jax.Array] = None,   # f32 [M, 1] (int8 x only)
+    w_scale: Optional[jax.Array] = None,   # f32 [N]
+    x_outlier: Optional[jax.Array] = None,  # bf16 [M, B]
+    w_outlier: Optional[jax.Array] = None,  # bf16 [B, N]
+    fuse: str = "none",
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    w4 = w.dtype == jnp.uint8
+    a16 = x.dtype != jnp.int8
+    if w4:
+        K = w.shape[0] * 2
+        assert x.shape[1] == K, "packed W4 weight must be [K/2, N]"
+    N = w.shape[1]
+    has_outlier = x_outlier is not None and w_outlier is not None
+    if a16:
+        # unused operand (pallas needs a concrete input); 1-lane dummy
+        x_scale = jnp.ones((M, 1), jnp.float32)
+
+    bm = min(block_m, _round_up(M, 32))
+    bn = min(block_n, _round_up(N, 128))
+    Mp, Np = _round_up(M, bm), _round_up(N, bn)
+
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+        x_scale = jnp.pad(x_scale, ((0, Mp - M), (0, 0)))
+        if has_outlier:
+            x_outlier = jnp.pad(x_outlier, ((0, Mp - M), (0, 0)))
+    if Np != N:
+        w = jnp.pad(w, ((0, 0), (0, Np - N)))
+        w_scale = jnp.pad(w_scale, (0, Np - N))
+        if has_outlier:
+            w_outlier = jnp.pad(w_outlier, ((0, 0), (0, Np - N)))
+
+    Kw = w.shape[0]          # K or K/2 (packed)
+    grid = (Mp // bm, Np // bn)
+    in_specs = [
+        pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kw, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w, x_scale, w_scale[None, :].astype(jnp.float32)]
+    if has_outlier:
+        Bo = x_outlier.shape[1]
+        in_specs += [
+            pl.BlockSpec((bm, Bo), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bo, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [x_outlier, w_outlier]
+        kernel = functools.partial(_kernel_outlier, fuse=fuse, w4=w4, a16=a16)
+    else:
+        kernel = functools.partial(_kernel, fuse=fuse, w4=w4, a16=a16)
+
+    flops = 2 * Mp * Np * K + (2 * Mp * Np * x_outlier.shape[1]
+                               if has_outlier else 0)
+    x_bytes = Mp * K * (2 if a16 else 1)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_bytes + Kw * Np + 2 * Mp * Np,
+            transcendentals=Mp * Np if fuse != "none" else 0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:M, :N]

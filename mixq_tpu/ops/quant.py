@@ -99,28 +99,31 @@ def grouped_int8_matmul_dequant(
 def pack_int4(q: jax.Array) -> jax.Array:
     """Pack int4 values (int8 storage, [-8,7]) 2-per-byte along axis 0.
 
-    q: [K, N] -> packed uint8 [K//2, N]; row 2k in low nibble, 2k+1 in high.
-    (Reference packs along in-dim too: linear.py:14-23.)
+    q: [K, N] -> packed uint8 [K//2, N] in HALVES layout: row k in the low
+    nibble, row k + K//2 in the high nibble. The halves layout makes the
+    in-kernel unpack a contiguous sublane concat (lo block = rows
+    [0, K/2), hi block = rows [K/2, K)) — no strided interleave — so the
+    Pallas W4 matmul prologue (ops/pallas/mix_gemm.py) reconstructs the
+    natural row order with two masks and one concatenate. (Reference packs
+    along the in-dim too: linear.py:14-23.)
     """
     K = q.shape[0]
     assert K % 2 == 0, "K must be even to pack int4"
-    lo = (q[0::2] & 0x0F).astype(jnp.uint8)
-    hi = (q[1::2] & 0x0F).astype(jnp.uint8)
+    half = K // 2
+    lo = (q[:half] & 0x0F).astype(jnp.uint8)
+    hi = (q[half:] & 0x0F).astype(jnp.uint8)
     return (lo | (hi << 4)).astype(jnp.uint8)
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """Inverse of pack_int4: uint8 [K//2, N] -> int8 [K, N] in [-8, 7]."""
+    """Inverse of pack_int4: uint8 [K//2, N] -> int8 [K, N] in [-8, 7]
+    (halves layout: low nibbles are rows [0, K/2), high nibbles the rest)."""
     lo = (packed & 0x0F).astype(jnp.int8)
     hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
     # sign-extend 4-bit two's complement
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
-    K2, N = packed.shape
-    out = jnp.zeros((K2 * 2, N), jnp.int8)
-    out = out.at[0::2].set(lo)
-    out = out.at[1::2].set(hi)
-    return out
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,133 @@
+"""Unified mixed-precision GEMM kernel (ops/pallas/mix_gemm.py): parity
+against the XLA reference math in interpreter mode, plus the packed-W4
+storage path through mixed_linear (the int4 HBM-bandwidth realization —
+VERDICT r2 items 3+4; reference mixlib.int4FusedDequantize, linear.py:259).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixq_tpu.ops import quant as Q
+from mixq_tpu.ops.mixed_linear import (LinearSpec, from_float, mixed_linear,
+                                       prepare_act)
+from mixq_tpu.ops.pallas.mix_gemm import mix_gemm
+
+
+def _ref_w8a8(q_x, q_w, xs, ws, xo=None, wo=None, fuse="none"):
+    acc = jnp.dot(q_x.astype(jnp.int32), q_w.astype(jnp.int32))
+    y = acc.astype(jnp.float32) * xs * ws[None, :]
+    if xo is not None:
+        y = y + jnp.dot(xo.astype(jnp.float32), wo.astype(jnp.float32))
+    if fuse == "silu":
+        y = jax.nn.silu(y)
+    return y
+
+
+def _rand_int8(key, shape, lo=-127, hi=127):
+    return jax.random.randint(key, shape, lo, hi + 1, dtype=jnp.int32
+                              ).astype(jnp.int8)
+
+
+class TestKernelParity:
+    @pytest.mark.parametrize("M,K,N", [(1, 256, 384), (7, 512, 256),
+                                       (64, 256, 640)])
+    @pytest.mark.parametrize("fuse", ["none", "silu"])
+    def test_w8a8(self, M, K, N, fuse):
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        q_x = _rand_int8(ks[0], (M, K))
+        q_w = _rand_int8(ks[1], (K, N))
+        xs = jax.random.uniform(ks[2], (M, 1), minval=0.01, maxval=0.1)
+        ws = jax.random.uniform(ks[3], (N,), minval=0.01, maxval=0.1)
+        got = mix_gemm(q_x, q_w, xs, ws, fuse=fuse,
+                       out_dtype=jnp.float32, interpret=True)
+        ref = _ref_w8a8(q_x, q_w, xs, ws, fuse=fuse)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_w8a8_outlier(self):
+        M, K, N, B = 33, 384, 256, 32
+        ks = jax.random.split(jax.random.PRNGKey(1), 6)
+        q_x = _rand_int8(ks[0], (M, K))
+        q_w = _rand_int8(ks[1], (K, N))
+        xs = jax.random.uniform(ks[2], (M, 1), minval=0.01, maxval=0.1)
+        ws = jax.random.uniform(ks[3], (N,), minval=0.01, maxval=0.1)
+        xo = jax.random.normal(ks[4], (M, B), jnp.float32).astype(jnp.bfloat16)
+        wo = jax.random.normal(ks[5], (B, N), jnp.float32).astype(jnp.bfloat16)
+        got = mix_gemm(q_x, q_w, xs, ws, xo, wo, fuse="silu",
+                       out_dtype=jnp.float32, interpret=True)
+        ref = _ref_w8a8(q_x, q_w, xs, ws, xo, wo, fuse="silu")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("M", [1, 48])
+    def test_w4_packed(self, M):
+        """Packed-uint8 weights: the kernel's nibble unpack must equal the
+        unpacked int8 dot exactly."""
+        K, N = 512, 384
+        ks = jax.random.split(jax.random.PRNGKey(2), 4)
+        q_x = _rand_int8(ks[0], (M, K))
+        q_w4 = _rand_int8(ks[1], (K, N), -8, 7)
+        packed = Q.pack_int4(q_w4)
+        xs = jax.random.uniform(ks[2], (M, 1), minval=0.01, maxval=0.1)
+        ws = jax.random.uniform(ks[3], (N,), minval=0.01, maxval=0.1)
+        got = mix_gemm(q_x, packed, xs, ws, out_dtype=jnp.float32,
+                       interpret=True)
+        ref = _ref_w8a8(q_x, q_w4, xs, ws)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("w4", [False, True])
+    def test_a16_weight_only(self, w4):
+        """bf16 activations: weight dequant in the prologue (EETQ
+        w8_a16_gemm / the W4A16 variant)."""
+        M, K, N = 16, 256, 384
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        x = jax.random.normal(ks[0], (M, K), jnp.float32).astype(jnp.bfloat16)
+        q_w = _rand_int8(ks[1], (K, N), -8, 7) if w4 else _rand_int8(
+            ks[1], (K, N))
+        ws = jax.random.uniform(ks[2], (N,), minval=0.01, maxval=0.1)
+        w_arg = Q.pack_int4(q_w) if w4 else q_w
+        got = mix_gemm(x, w_arg, None, ws, out_dtype=jnp.float32,
+                       interpret=True)
+        wd = q_w.astype(jnp.bfloat16) * ws.astype(jnp.bfloat16)[None, :]
+        ref = jnp.dot(x, wd, preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+
+
+class TestPackedStorage:
+    def test_pack_halves_roundtrip_odd_values(self):
+        q = _rand_int8(jax.random.PRNGKey(4), (64, 32), -8, 7)
+        assert np.array_equal(np.asarray(Q.unpack_int4(Q.pack_int4(q))),
+                              np.asarray(q))
+
+    def test_from_float_packed_matches_unpacked(self):
+        """'packed' at-rest storage must be numerically identical to the
+        widened-int8 storage through the full linear (CPU path unpacks;
+        the TPU path routes through the kernel)."""
+        K, N = 128, 96
+        w = jax.random.normal(jax.random.PRNGKey(5), (K, N), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(6), (3, K), jnp.float32
+                              ).astype(jnp.bfloat16)
+        spec = LinearSpec(w_bit=4, a_bit=4, version="MIX")
+        p_packed = from_float(w, spec, pack="packed")
+        p_plain = from_float(w, spec, pack=False)
+        assert p_packed.q_weight.dtype == jnp.uint8
+        assert p_packed.q_weight.shape == (K // 2, N)
+        y1 = mixed_linear(p_packed, x, spec)
+        y2 = mixed_linear(p_plain, x, spec)
+        np.testing.assert_allclose(np.asarray(y1, np.float32),
+                                   np.asarray(y2, np.float32),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_quik_packed_reduced_w(self):
+        """QUIK zero-point correction must be computed on unpacked VALUES
+        (a raw astype over packed bytes would corrupt it)."""
+        K, N = 64, 48
+        w = jax.random.normal(jax.random.PRNGKey(7), (K, N), jnp.float32)
+        spec = LinearSpec(w_bit=4, a_bit=4, version="QUIK")
+        p_packed = from_float(w, spec, pack="packed")
+        p_plain = from_float(w, spec, pack=False)
+        np.testing.assert_allclose(np.asarray(p_packed.reduced_w),
+                                   np.asarray(p_plain.reduced_w))
