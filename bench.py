@@ -49,6 +49,20 @@ def tiny_cfg(n_layers: int) -> ModelConfig:
     )
 
 
+def moe_cfg(n_layers: int) -> ModelConfig:
+    """Mixtral-shaped sparse-MoE decode workload, scaled to one v5e chip
+    (BENCH_EXPERTS experts, top-2 routing; full 8x7B int8 experts are
+    ~1.4GB/layer — HBM demands the scale-down, VERDICT r2 item 7)."""
+    E = int(os.environ.get("BENCH_EXPERTS", "4"))
+    return ModelConfig(
+        model_type="mixtral", vocab_size=32000, hidden_size=4096,
+        intermediate_size=4096, num_hidden_layers=n_layers,
+        num_attention_heads=32, num_key_value_heads=8,
+        num_local_experts=E, num_experts_per_tok=2,
+        moe_capacity_factor=float(os.environ.get("BENCH_MOE_CAP", "0")),
+    )
+
+
 def main():
     # Fail fast and VISIBLY if the TPU relay is unreachable: backend init
     # otherwise hangs indefinitely inside jax.devices() (observed during
@@ -73,14 +87,21 @@ def main():
     watchdog.cancel()
     print(f"backend up: {n_dev} device(s)", file=sys.stderr)
 
+    # defaults = the best stable measured config (BENCH_MATRIX.jsonl r3:
+    # B=512 S=32 bf16 xla -> 13,750 tok/s, 1.296x the A100 baseline at the
+    # reference workload's batch; int8-KV XLA attend collapses past ~10.5GB
+    # weights+KV — a relay artifact the flash kernel sidesteps at S >= 128)
     preset = os.environ.get("BENCH_PRESET", "7b")
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    B = int(os.environ.get("BENCH_BATCH", "512"))
     S = int(os.environ.get("BENCH_SEQ", "32"))
     steps = int(os.environ.get("BENCH_DECODE_STEPS", "32"))
     kv_dtype = jnp.dtype(os.environ.get("BENCH_KV", "bfloat16"))
-    n_layers = int(os.environ.get("BENCH_LAYERS", "32" if preset == "7b" else "2"))
+    n_layers = int(os.environ.get(
+        "BENCH_LAYERS",
+        {"7b": "32", "moe": "8"}.get(preset, "2")))
 
-    cfg = llama2_7b_cfg(n_layers) if preset == "7b" else tiny_cfg(n_layers)
+    cfg = {"7b": llama2_7b_cfg, "moe": moe_cfg,
+           "tiny": tiny_cfg}[preset](n_layers)
     w_bits = int(os.environ.get("BENCH_W", "8"))
     version = os.environ.get("BENCH_VERSION", "MIX")
     if version == "QUIK":
@@ -180,8 +201,10 @@ def main():
     print(f"chain timing: t({steps})={t1*1000:.1f}ms t({2*steps})={t2*1000:.1f}ms"
           f" -> {per_step*1000:.2f}ms/step", file=sys.stderr)
 
+    metric = ("mixtral_moe_w8a8o16_decode_throughput" if preset == "moe"
+              else "llama2_7b_w8a8o16_decode_throughput")
     print(json.dumps({
-        "metric": "llama2_7b_w8a8o16_decode_throughput",
+        "metric": metric,
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_s / BASELINE_TOKENS_PER_S, 3),
