@@ -188,8 +188,15 @@ class ContinuousBatchingEngine:
         self._done: Dict[int, List[int]] = {}
         self._done_logprobs: Dict[int, List[float]] = {}
         self._slot_req: Dict[int, int] = {}
-        self._slot_hist: Dict[int, List[int]] = {}  # prompt tokens (spec
-                                                    # drafting history base)
+        # per-slot token histories for speculative drafting (native flat
+        # scan when the C++ lib is built; Python fallback otherwise)
+        if self.ecfg.spec_k > 1:
+            from mixq_tpu.engine.scheduler import make_drafter
+
+            self._drafter = make_drafter(self.n_slots,
+                                         prefer_native_scheduler)
+        else:
+            self._drafter = None
         self._next_id = 0
         self._key = jax.random.PRNGKey(0)
         self._sampling_dev = None     # cached per-slot sampling arrays
@@ -416,7 +423,6 @@ class ContinuousBatchingEngine:
         the number of active slots."""
         k = self.ecfg.spec_k
         assert k > 1, "step_spec needs EngineConfig.spec_k > 1"
-        from mixq_tpu.engine.speculative import propose_ngram
 
         admits = self.sched.admit()
         if admits:
@@ -432,9 +438,7 @@ class ContinuousBatchingEngine:
             sp = self._slot_sampling.get(slot) or sampling
             if sp.temperature > 0.0:
                 continue                     # sampled row: no draft
-            rid = self._slot_req[slot]
-            hist = self._slot_hist[slot] + self._outputs[rid]
-            draft = propose_ngram(hist, self.ecfg.spec_ngram, k - 1)
+            draft = self._drafter.propose(slot, self.ecfg.spec_ngram, k - 1)
             if draft:
                 feed[slot, 1:1 + len(draft)] = draft
                 drafts[slot] = draft
@@ -470,7 +474,10 @@ class ContinuousBatchingEngine:
                 self.spec_stats["drafted"] += len(draft)
                 self.spec_stats["accepted"] += a
             self.spec_stats["emitted"] += len(emitted)
+            kept = []
+            finished = False
             for tok, lp in emitted:
+                kept.append(tok)
                 self._outputs[rid].append(tok)
                 self._logprobs[rid].append(float(lp))
                 self.lengths[slot] += 1
@@ -478,12 +485,16 @@ class ContinuousBatchingEngine:
                 state = self.sched.on_token(slot)
                 if state == 1:               # budget: drop any remainder
                     self._finish_request(slot, rid)
+                    finished = True
                     break
                 if (tok in self._slot_stop.get(slot, ())
                         or (eos_token_id is not None
                             and tok == eos_token_id)):
                     self.finish_slot(slot)
+                    finished = True
                     break
+            if not finished:
+                self._drafter.append(slot, kept)
         return len(active)
 
     # -- device decode window ------------------------------------------------
@@ -593,7 +604,6 @@ class ContinuousBatchingEngine:
         self._slot_req.pop(slot, None)
         self._slot_sampling.pop(slot, None)
         self._slot_stop.pop(slot, None)
-        self._slot_hist.pop(slot, None)
         self._sampling_dev = None
 
     def finish_slot(self, slot: int) -> None:
@@ -658,7 +668,8 @@ class ContinuousBatchingEngine:
             self.lengths[slot] = n - 1
             self.cur_tokens[slot] = prompt[-1]
             self._slot_req[slot] = rid
-            self._slot_hist[slot] = prompt    # spec drafting history base
+            if self._drafter is not None:
+                self._drafter.reset(slot, prompt)
             self._slot_sampling[slot] = self._req_sampling.pop(rid, None)
             self._slot_stop[slot] = self._req_stop.pop(rid, frozenset())
             self._sampling_dev = None

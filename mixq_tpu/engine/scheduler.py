@@ -57,6 +57,19 @@ def _load_native() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
     lib.sched_stats.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.ngram_create.restype = ctypes.c_void_p
+    lib.ngram_create.argtypes = [ctypes.c_int32]
+    lib.ngram_destroy.argtypes = [ctypes.c_void_p]
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ngram_reset.restype = ctypes.c_int32
+    lib.ngram_reset.argtypes = [ctypes.c_void_p, ctypes.c_int32, _i32p,
+                                ctypes.c_int32]
+    lib.ngram_append.restype = ctypes.c_int32
+    lib.ngram_append.argtypes = [ctypes.c_void_p, ctypes.c_int32, _i32p,
+                                 ctypes.c_int32]
+    lib.ngram_propose.restype = ctypes.c_int32
+    lib.ngram_propose.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                  ctypes.c_int32, ctypes.c_int32, _i32p]
     return lib
 
 
@@ -204,3 +217,61 @@ def make_scheduler(n_slots: int, max_seq: int, prefer_native: bool = True):
     if prefer_native and _get_lib() is not None:
         return NativeScheduler(n_slots, max_seq)
     return PythonScheduler(n_slots, max_seq)
+
+
+class NativeDrafter:
+    """Per-slot prompt-lookup n-gram drafter over the native token
+    histories (native/scheduler.cpp ngram_*): the speculative-decoding
+    host hot loop — an O(history) backward scan per slot per verify
+    step — runs as a flat int32 scan instead of Python list slicing."""
+
+    def __init__(self, n_slots: int):
+        global _LIB
+        _LIB = _get_lib()
+        assert _LIB is not None, "native library not available"
+        self._h = _LIB.ngram_create(n_slots)
+        assert self._h, "ngram_create failed"
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            _LIB.ngram_destroy(self._h)
+            self._h = None
+
+    @staticmethod
+    def _arr(tokens):
+        return (ctypes.c_int32 * len(tokens))(*tokens)
+
+    def reset(self, slot: int, tokens) -> None:
+        _LIB.ngram_reset(self._h, slot, self._arr(tokens), len(tokens))
+
+    def append(self, slot: int, tokens) -> None:
+        _LIB.ngram_append(self._h, slot, self._arr(tokens), len(tokens))
+
+    def propose(self, slot: int, n: int, k: int) -> List[int]:
+        out = (ctypes.c_int32 * max(k, 1))()
+        got = _LIB.ngram_propose(self._h, slot, n, k, out)
+        return list(out[:got])
+
+
+class PythonDrafter:
+    """Pure-Python fallback with the same contract."""
+
+    def __init__(self, n_slots: int):
+        self._hist: List[List[int]] = [[] for _ in range(n_slots)]
+
+    def reset(self, slot, tokens):
+        self._hist[slot] = list(tokens)
+
+    def append(self, slot, tokens):
+        self._hist[slot].extend(tokens)
+
+    def propose(self, slot, n, k):
+        from mixq_tpu.engine.speculative import propose_ngram
+
+        return propose_ngram(self._hist[slot], n, k)
+
+
+def make_drafter(n_slots: int, prefer_native: bool = True):
+    if prefer_native and _get_lib() is not None:
+        return NativeDrafter(n_slots)
+    return PythonDrafter(n_slots)

@@ -123,6 +123,84 @@ int32_t sched_finish(void* h, int32_t slot) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Prompt-lookup n-gram drafter (speculative decoding host hot path).
+//
+// The CB engine's step_spec() drafts per slot per verify step by scanning
+// that slot's token history backwards for the most recent earlier
+// occurrence of the trailing n-gram (engine/speculative.py propose_ngram).
+// In Python that's an O(history) list-slice loop per slot per step — at 64+
+// slots it competes with the XLA dispatch for host time; here it's a flat
+// int32 scan.
+//
+//   ngram_create(n_slots)                       -> handle
+//   ngram_destroy(h)
+//   ngram_reset(h, slot, toks, n)               (admission: history = prompt)
+//   ngram_append(h, slot, toks, n)              (emitted tokens)
+//   ngram_propose(h, slot, ngram_n, k, out) -> count (<= k)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Drafter {
+  int32_t n_slots;
+  std::vector<std::vector<int32_t>> hist;
+  std::mutex mu;
+  explicit Drafter(int32_t slots_) : n_slots(slots_), hist(slots_) {}
+};
+
+}  // namespace
+
+void* ngram_create(int32_t n_slots) {
+  if (n_slots <= 0) return nullptr;
+  return new Drafter(n_slots);
+}
+
+void ngram_destroy(void* h) { delete static_cast<Drafter*>(h); }
+
+int32_t ngram_reset(void* h, int32_t slot, const int32_t* toks, int32_t n) {
+  auto* d = static_cast<Drafter*>(h);
+  std::lock_guard<std::mutex> lock(d->mu);
+  if (slot < 0 || slot >= d->n_slots || n < 0) return -1;
+  d->hist[slot].assign(toks, toks + n);
+  return 0;
+}
+
+int32_t ngram_append(void* h, int32_t slot, const int32_t* toks, int32_t n) {
+  auto* d = static_cast<Drafter*>(h);
+  std::lock_guard<std::mutex> lock(d->mu);
+  if (slot < 0 || slot >= d->n_slots || n < 0) return -1;
+  auto& v = d->hist[slot];
+  v.insert(v.end(), toks, toks + n);
+  return 0;
+}
+
+int32_t ngram_propose(void* h, int32_t slot, int32_t n, int32_t k,
+                      int32_t* out) {
+  auto* d = static_cast<Drafter*>(h);
+  std::lock_guard<std::mutex> lock(d->mu);
+  if (slot < 0 || slot >= d->n_slots || n <= 0 || k <= 0) return 0;
+  const auto& v = d->hist[slot];
+  const int64_t len = static_cast<int64_t>(v.size());
+  if (len <= n) return 0;
+  const int32_t* tail = v.data() + len - n;
+  // most recent earlier match wins (local repetition dominates) —
+  // identical semantics to engine/speculative.py propose_ngram
+  for (int64_t start = len - n - 1; start >= 0; --start) {
+    bool eq = true;
+    for (int32_t i = 0; i < n; ++i) {
+      if (v[start + i] != tail[i]) { eq = false; break; }
+    }
+    if (!eq) continue;
+    int64_t from = start + n;
+    int32_t count = static_cast<int32_t>(
+        (len - from) < k ? (len - from) : k);
+    for (int32_t i = 0; i < count; ++i) out[i] = v[from + i];
+    return count;
+  }
+  return 0;
+}
+
 int32_t sched_active_slots(void* h, int32_t* out_slots, int32_t cap) {
   auto* s = static_cast<Scheduler*>(h);
   std::lock_guard<std::mutex> lock(s->mu);

@@ -179,6 +179,36 @@ class TestSpecSoak:
         assert got == ref
 
 
+class TestNativeDrafter:
+    def test_native_matches_python(self):
+        """The C++ n-gram matcher must propose exactly what the Python
+        propose_ngram does over randomized histories."""
+        import random
+
+        from mixq_tpu.engine.scheduler import (NativeDrafter, PythonDrafter,
+                                               make_drafter)
+
+        nat = make_drafter(2)
+        if not isinstance(nat, NativeDrafter):
+            pytest.skip("native lib unavailable")
+        py = PythonDrafter(2)
+        rng = random.Random(3)
+        for trial in range(50):
+            base = [rng.randrange(0, 6) for _ in range(rng.randint(1, 8))]
+            hist = (base * 4)[:rng.randint(1, 30)]
+            slot = trial % 2
+            nat.reset(slot, hist)
+            py.reset(slot, hist)
+            for _ in range(3):
+                ext = [rng.randrange(0, 6) for _ in range(rng.randint(0, 4))]
+                nat.append(slot, ext)
+                py.append(slot, ext)
+                for n in (1, 2, 3):
+                    for k in (1, 4, 8):
+                        assert nat.propose(slot, n, k) == py.propose(
+                            slot, n, k), (hist, ext, n, k)
+
+
 class TestSpecGuards:
     def test_flash_impl_rejected(self, model):
         params, cfg, specs = model
