@@ -173,10 +173,10 @@ def moe_mlp(x: jax.Array, p: MoEParams, spec_up: LinearSpec,
             sg = mixed_linear(p.shared_gate, x, spec_up).astype(jnp.float32)
             su = mixed_linear(p.shared_up, x, spec_up).astype(jnp.float32)
         else:
-            act = prepare_act(x, p.shared_up, spec_up)
-            sg = mixed_linear_prepared(p.shared_gate, act,
+            qact = prepare_act(x, p.shared_up, spec_up)
+            sg = mixed_linear_prepared(p.shared_gate, qact,
                                        spec_up).astype(jnp.float32)
-            su = mixed_linear_prepared(p.shared_up, act,
+            su = mixed_linear_prepared(p.shared_up, qact,
                                        spec_up).astype(jnp.float32)
         inner_sh = (jax.nn.silu(sg) if act == "silu"
                     else jax.nn.gelu(sg, approximate=True)) * su
