@@ -108,7 +108,6 @@ def main():
         return nxt, cache
 
     prompt = jnp.ones((B, P), jnp.int32)
-    one = jnp.ones((B, 1), jnp.int32)
 
     # compile both shapes
     t0 = time.time()
@@ -128,16 +127,21 @@ def main():
     print(f"fetch overhead ~{c*1000:.1f}ms", file=sys.stderr)
 
     # --- TTFT: prefill latency over repeats (fresh cache each time) -------
+    # keep exactly ONE cache alive across repeats: the compile-phase cache
+    # plus two loop caches used to coexist, tripling KV memory and OOMing
+    # at 7B B=64 S=256 int8 (r2 sweep RESOURCE_EXHAUSTED)
+    cache = None
     ttft = []
     for _ in range(5):
-        cache2 = new_cache()
+        cache = None                  # free BEFORE allocating (rebinding
+        cache = new_cache()           # alone briefly doubles KV memory)
         t0 = time.time()
-        nx2, cache2 = step(params, prompt, cache2)
-        jax.device_get(nx2)
+        nxt, cache = step(params, prompt, cache)
+        jax.device_get(nxt)
         ttft.append(max(time.time() - t0 - c, 0.0) * 1000)
 
-    # --- per-step decode latency ------------------------------------------
-    nxt, cache = decode_once(one[:, 0], cache)   # warm (compiles flush too)
+    # --- per-step decode latency (continues from the last prefill) --------
+    nxt, cache = decode_once(nxt, cache)   # warm (compiles flush too)
     samples = []
     for _ in range(steps):
         t0 = time.time()
