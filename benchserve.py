@@ -17,6 +17,9 @@ Prints ONE JSON line. Env knobs:
   BENCH_PROMPT_MAX (default 64)         BENCH_NEW_MAX (default 64)
   BENCH_SEQ (max_seq, default 256)      BENCH_KV (bfloat16|int8)
   BENCH_ATTN (auto|flash|xla)           BENCH_WARMUP (1: pre-compile)
+  BENCH_SPEC_K (default 0 — >1 serves via step_spec: every decode step is
+      a T=k verify forward, greedy rows draft prompt-lookup n-grams and
+      emit their accepted prefix; reports acceptance + emitted/forward)
 """
 import json
 import os
@@ -48,6 +51,7 @@ def main():
     max_seq = int(os.environ.get("BENCH_SEQ", "256"))
     kv = os.environ.get("BENCH_KV", "bfloat16")
     attn = os.environ.get("BENCH_ATTN", "auto")
+    spec_k = int(os.environ.get("BENCH_SPEC_K", "0"))
     n_layers = int(os.environ.get("BENCH_LAYERS",
                                   "32" if preset == "7b" else "2"))
 
@@ -63,7 +67,7 @@ def main():
     eng = ContinuousBatchingEngine(
         params, cfg, specs,
         EngineConfig(max_batch_size=n_slots, max_seq_len=max_seq,
-                     prefill_chunk=32, kv_dtype=kv))
+                     prefill_chunk=32, kv_dtype=kv, spec_k=spec_k))
     print(f"init {time.time()-t0:.1f}s slots={n_slots} kv={kv} attn={attn} "
           f"hm={eng.cache.head_major}", file=sys.stderr)
     if os.environ.get("BENCH_WARMUP", "0") == "1":
@@ -92,7 +96,10 @@ def main():
             submit_w[rid] = window
             budgets[rid] = b
         t_w = time.time()
-        eng.step_window()
+        if spec_k > 1:
+            eng.step_spec()
+        else:
+            eng.step_window()
         dt = time.time() - t_w
         if dt > 5.0:                    # compile window: exclude from rates
             compile_windows += 1
@@ -124,6 +131,14 @@ def main():
         "compile_windows": compile_windows,
         "slots": n_slots, "kv": kv, "attn": attn, "preset": preset,
     }
+    if spec_k > 1:
+        st = eng.spec_stats
+        out["spec_k"] = spec_k
+        out["spec_accept_rate"] = round(
+            st["accepted"] / max(st["drafted"], 1), 3)
+        out["spec_emitted_per_forward"] = round(
+            st["emitted"] / max(st["forwards"], 1), 3)
+        out["spec_forwards"] = st["forwards"]
     print(json.dumps(out))
 
 
