@@ -41,12 +41,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _unpack_w4(p: jax.Array) -> jax.Array:
-    """[K/2, bn] uint8 (halves layout) -> [K, bn] int8 in [-8, 7]."""
-    lo = (p & 0x0F).astype(jnp.int8)
-    hi = ((p >> 4) & 0x0F).astype(jnp.int8)
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    return jnp.concatenate([lo, hi], axis=0)
+    """[K/2, bn] uint8 (halves layout) -> [K, bn] int8 in [-8, 7].
+
+    Formulated as i32 widen + shift-left/arithmetic-shift-right sign
+    extension: Mosaic cannot legalize `arith.shrui` (and i8 shifts at
+    all) on the real TPU backend — logical ops on the u8 bits fail with
+    "failed to legalize operation 'arith.shrui'", while i32 shl/shrsi
+    lower fine (probed on-chip, r3). The widen is a VPU convert on the
+    streamed weight block only."""
+    b = p.astype(jnp.int32)
+    lo = (b << 28) >> 28            # sign-extended low nibble
+    hi = (b << 24) >> 28            # sign-extended high nibble
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
 def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, *, fuse: str,
