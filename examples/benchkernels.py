@@ -118,6 +118,9 @@ def bench_gemm_matrix(args):
               ("down", 11008, 4096)]
     Ms = [int(m) for m in args.m_list.split(",")]
     Bo = 128
+    # single GEMMs at these shapes are 30-300µs; 30-step chains drown in
+    # relay noise (0.0µs differences measured) — the work must dominate
+    steps = max(args.steps, 256)
     on_tpu = jax.default_backend() == "tpu"
     results = []
     for name, K, N in shapes:
@@ -172,23 +175,24 @@ def bench_gemm_matrix(args):
 
             row = {"shape": name, "M": M, "K": K, "N": N,
                    "w8_xla_us": round(
-                       time_chained(xla_w8, t0, args.steps) * 1e6, 1)}
+                       time_chained(xla_w8, t0, steps) * 1e6, 1)}
             if on_tpu:
                 row["w8_pallas_us"] = round(
-                    time_chained(pal_w8, t0, args.steps) * 1e6, 1)
+                    time_chained(pal_w8, t0, steps) * 1e6, 1)
             row["w4_xla_unpack_us"] = round(
-                time_chained(xla_w4, t0, args.steps) * 1e6, 1)
+                time_chained(xla_w4, t0, steps) * 1e6, 1)
             if on_tpu:
                 row["w4_pallas_packed_us"] = round(
-                    time_chained(pal_w4, t0, args.steps) * 1e6, 1)
+                    time_chained(pal_w4, t0, steps) * 1e6, 1)
+                us = lambda k: max(row[k], 0.1)   # relay noise floor guard
                 row["w8_speedup"] = round(
-                    row["w8_xla_us"] / row["w8_pallas_us"], 2)
+                    row["w8_xla_us"] / us("w8_pallas_us"), 2)
                 row["w4_speedup_vs_w8xla"] = round(
-                    row["w8_xla_us"] / row["w4_pallas_packed_us"], 2)
+                    row["w8_xla_us"] / us("w4_pallas_packed_us"), 2)
                 row["w8_pallas_wgbps"] = round(
-                    K * N / row["w8_pallas_us"] / 1e3, 1)
+                    K * N / us("w8_pallas_us") / 1e3, 1)
                 row["w4_pallas_wgbps_effective"] = round(
-                    K * N / 2 / row["w4_pallas_packed_us"] / 1e3, 1)
+                    K * N / 2 / us("w4_pallas_packed_us") / 1e3, 1)
             results.append(row)
             print(json.dumps(row), flush=True)
     if args.output_json:

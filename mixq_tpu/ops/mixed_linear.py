@@ -192,6 +192,34 @@ def mixed_linear_prepared(
             y = y.astype(jnp.float32) + params.bias.astype(jnp.float32)
             y = _apply_fuse(y, spec.fuse, spec.odtype)
         return y
+    if (_GEMM_IMPL == "pallas" and params.q_weight.dtype == jnp.int8
+            and params.w_scale.ndim == 1
+            and jax.default_backend() == "tpu"):
+        # MIXQ_GEMM=pallas: route W8A8 through the unified mix_gemm kernel
+        # (GEMM + dequant + outlier-add + activation in one VMEM-resident
+        # program — mixlib.int8FusedDequantize[Silu], linear.py:251,283).
+        # Isolated-op relay microbenches are unusably noisy (CLAUDE.md);
+        # this knob exists so bench.py can difference the TWO FULL-MODEL
+        # throughputs — the only trustworthy pallas-vs-XLA GEMM evidence
+        # on this stack.
+        from mixq_tpu.ops.pallas.mix_gemm import mix_gemm
+
+        lead = act.q_x.shape[:-1]
+        K = act.q_x.shape[-1]
+        fuse_in_kernel = spec.fuse if params.bias is None else "none"
+        y = mix_gemm(
+            act.q_x.reshape(-1, K), params.q_weight,
+            act.x_scale.reshape(-1, 1), params.w_scale,
+            (act.x_outlier.reshape(-1, act.x_outlier.shape[-1])
+             if act.x_outlier is not None and params.w_outlier is not None
+             else None),
+            params.w_outlier,
+            fuse=fuse_in_kernel, out_dtype=spec.odtype,
+        ).reshape(*lead, params.q_weight.shape[1])
+        if params.bias is not None:
+            y = y.astype(jnp.float32) + params.bias.astype(jnp.float32)
+            y = _apply_fuse(y, spec.fuse, spec.odtype)
+        return y
     q_w = int_weight(params, spec)
     outlier_part = None
     if act.x_outlier is not None and params.w_outlier is not None:
@@ -301,6 +329,10 @@ import os as _os
 # keeps the halved HBM weight read.
 _INT4_NATIVE = _os.environ.get("MIXQ_INT4_NATIVE", "1") == "1"
 _W4_PACKED = _os.environ.get("MIXQ_W4_PACKED", "0") == "1"
+# MIXQ_GEMM=pallas routes W8A8 mixed linears through ops/pallas/mix_gemm
+# instead of XLA's int8 dot_general — a full-model A/B knob for bench.py
+# (default xla: measured faster in-model, see PROFILE_r03.md)
+_GEMM_IMPL = _os.environ.get("MIXQ_GEMM", "xla")
 
 
 def _default_w4_pack():
