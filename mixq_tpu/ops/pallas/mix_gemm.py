@@ -121,6 +121,30 @@ def mix_gemm(
 
     bm = min(block_m, _round_up(M, 32))
     bn = min(block_n, _round_up(N, 128))
+    # VMEM-budget block chooser: Mosaic double-buffers the streamed blocks
+    # (grid dims are parallel), so the K=11008 down-proj at bn=1024 wants
+    # 2x11.3MB of weight block alone — over the 16MB scoped limit
+    # ("Scoped allocation with size 22.50M ... exceeded", measured r3).
+    # Shrink bn (then bm) until 2x(x + w) blocks + output-tile temps fit.
+    x_item = 2 if a16 else 1
+    Kw_est = K // 2 if w4 else K
+
+    def _vmem(bm_, bn_):
+        blocks = 2 * (bm_ * K * x_item + Kw_est * bn_)
+        temps = bm_ * bn_ * 10          # i32 acc + f32 dequant + out tile
+        if has_outlier:
+            Bo_ = x_outlier.shape[1]
+            blocks += 2 * (bm_ * Bo_ + Bo_ * bn_) * 2
+            temps += bm_ * bn_ * 4
+        return blocks + temps
+
+    _BUDGET = 13 * 1024 * 1024
+    while bn > 128 and _vmem(bm, bn) > _BUDGET:
+        bn //= 2
+    while bm > 32 and _vmem(bm, bn) > _BUDGET:
+        bm //= 2
+    bn = max(bn, 128)
+    bm = max(bm, 32)
     Mp, Np = _round_up(M, bm), _round_up(N, bn)
 
     if Mp != M:
