@@ -607,20 +607,28 @@ def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
                supports the shapes (always on non-TPU backends, where the
                kernel runs in interpret mode);
       "auto"   (the default) flash on TPU for INT8 KV at max_seq >= 128 —
-               measured faster than every XLA lowering there (1-layer 7B
-               in-model probe, B=256: flash+tail 1.405 ms vs xla 1.592 /
-               flash-no-tail 1.748; examples/decode_probe.py). At S=32
-               XLA's reduce lowering still wins (0.944 vs 1.604: the
-               kernel's fixed overhead + sub-lane S padding don't pay off
-               when per-step KV traffic is tiny). bf16 KV stays on XLA
-               (flash bf16 ~7% behind at S=128 and S=512);
+               measured faster than every XLA lowering there, in the FULL
+               32-layer model (BENCH_MATRIX r3: B=128 S=128 flash 6,549.7
+               vs xla 1,668.7 tok/s; B=64 S=256 3,639.7 vs 838.7 — the
+               int8-KV XLA attend also collapses past ~10.5GB working
+               sets, which flash sidesteps; PROFILE_r03.md §2). At S=32
+               XLA's reduce lowering still wins (0.944 vs 1.604 ms/layer:
+               kernel fixed overhead + sub-lane S padding don't pay off
+               when per-step KV traffic is tiny). bf16 KV stays on XLA:
+               in-model flash loses 9% at B=128 S=128 (5,404 vs 5,918
+               tok/s) even though the isolated kernel wins — XLA fuses
+               the bf16 attend with its neighbors and keeps the cheap
+               batch-major T=1 cache write. int8 KV is the serving
+               default (PPL delta +0.03-0.19%, PPL_GATE_r03*.json);
       anything else: batch-major cache.
 
     Sliding-window and ALiBi models resolve to False under "auto" (the
-    ring cache bounds window-model KV memory; ALiBi's baked-constant bias
-    is unmeasured on hardware) but honor the explicit "flash" opt-in:
-    the kernel windows via its per-row start offset (memory-for-speed
-    trade) and adds the ALiBi bias from config-derived constants.
+    ring cache bounds window-model KV memory to the window; flash must
+    hold max_seq) but honor the explicit "flash" opt-in: the kernel
+    windows via its per-row start offset (memory-for-speed trade,
+    measured +9%: 0.428 vs 0.471 ms at B=256 S=128 int8,
+    MICROBENCH_WIN_ALIBI.jsonl) and adds the ALiBi bias from
+    config-derived constants (measured at XLA parity, 0.367 vs 0.369).
     """
     if attn_impl not in ("flash", "auto"):
         return False
