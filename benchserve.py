@@ -52,6 +52,7 @@ def main():
     kv = os.environ.get("BENCH_KV", "bfloat16")
     attn = os.environ.get("BENCH_ATTN", "auto")
     spec_k = int(os.environ.get("BENCH_SPEC_K", "0"))
+    spec_ngram = int(os.environ.get("BENCH_SPEC_NGRAM", "3"))
     n_layers = int(os.environ.get("BENCH_LAYERS",
                                   "32" if preset == "7b" else "2"))
 
@@ -67,7 +68,8 @@ def main():
     eng = ContinuousBatchingEngine(
         params, cfg, specs,
         EngineConfig(max_batch_size=n_slots, max_seq_len=max_seq,
-                     prefill_chunk=32, kv_dtype=kv, spec_k=spec_k))
+                     prefill_chunk=32, kv_dtype=kv, spec_k=spec_k,
+                     spec_ngram=spec_ngram))
     print(f"init {time.time()-t0:.1f}s slots={n_slots} kv={kv} attn={attn} "
           f"hm={eng.cache.head_major}", file=sys.stderr)
     if os.environ.get("BENCH_WARMUP", "0") == "1":
@@ -77,7 +79,14 @@ def main():
               file=sys.stderr)
 
     rng = random.Random(0)
-    pending = [([rng.randrange(1, cfg.vocab_size) for _ in
+    # BENCH_VOCAB_CAP: draw prompt tokens from the first N ids only.
+    # Full-vocab random prompts never repeat a trailing n-gram, so the
+    # prompt-lookup drafter proposes NOTHING (measured drafted=0) — a cap
+    # of ~64 makes n-grams recur the way natural text does, which is the
+    # regime speculative decoding exists for.
+    vocab_cap = int(os.environ.get("BENCH_VOCAB_CAP", "0")) or cfg.vocab_size
+    vocab_cap = min(vocab_cap, cfg.vocab_size)
+    pending = [([rng.randrange(1, vocab_cap) for _ in
                  range(rng.randint(1, prompt_max))],
                 rng.randint(1, new_max)) for _ in range(n_req)]
     submit_w = {}
@@ -89,12 +98,20 @@ def main():
     compile_windows = 0
     compile_time = 0.0
 
+    # BENCH_ARRIVAL_BURST: max admissions per window (default 1 = the
+    # randomized-arrival latency workload; raise it for a capacity row —
+    # one-per-window starves a 32-slot pool to ~4 active rows, measured
+    # 156.9 tok/s against a >1k tok/s full-pool rate)
+    burst = int(os.environ.get("BENCH_ARRIVAL_BURST", "1"))
     while pending or eng.has_work:
-        if pending and (not eng.has_work or rng.random() < arrival_p):
+        admitted = 0
+        while (pending and admitted < burst
+               and (not eng.has_work or rng.random() < arrival_p)):
             p, b = pending.pop(0)
             rid = eng.add_request(p, b)
             submit_w[rid] = window
             budgets[rid] = b
+            admitted += 1
         t_w = time.time()
         if spec_k > 1:
             eng.step_spec()
