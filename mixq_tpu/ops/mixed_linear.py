@@ -167,13 +167,14 @@ def mixed_linear_prepared(
     """Mixed int GEMM on a pre-quantized activation (the reference's
     `forward_without_precondition[FusedSilu]`, linear.py:292-376)."""
     if (params.q_weight.dtype == jnp.uint8 and spec.w_bit == 4
-            and params.w_scale.ndim == 1
             and jax.default_backend() == "tpu"):
         # packed-W4 hot path: the Pallas kernel unpacks nibbles in its
         # prologue so the HBM weight read is HALF of W8's — the int4
         # bandwidth win the XLA path forfeits (unpack materializes a
         # [K, N] int8 copy, and the relay cannot move jnp.int4 buffers).
         # mixlib.int4FusedDequantize[Silu] equivalent (linear.py:259).
+        # Grouped [G, N] scales ride the same kernel (bf16-dot dequant
+        # prologue — q_group_size parity without unpacking in HBM).
         from mixq_tpu.ops.pallas.mix_gemm import mix_gemm
 
         lead = act.q_x.shape[:-1]
@@ -390,10 +391,8 @@ def from_float(
         if spec.w_bit == 4:
             if pack is None:
                 pack = _default_w4_pack()
-            if pack == "packed":
-                pack = True if _INT4_NATIVE else False
-                # grouped scales aren't served by the mix_gemm kernel yet;
-                # fall back to the non-packed storage choices
+            # packed storage works with grouped scales too: mix_gemm folds
+            # the [G, N] scales into its unpack prologue (bf16-dot path)
             q_w = _store_w4(q_w, pack)
     elif spec.w_bit == 8:
         q_w, w_scale = Q.quantize_weight_int8(w_for_quant)

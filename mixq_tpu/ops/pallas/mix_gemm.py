@@ -55,13 +55,33 @@ def _unpack_w4(p: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
+def _expand_group_scale(ws: jax.Array, K: int) -> jax.Array:
+    """[G, bn] per-group scales -> [K, bn]: broadcast each group's row over
+    its group_size K-rows. Lane dim (bn) is untouched; the expansion is a
+    sublane broadcast+collapse, which Mosaic legalizes (probed on-chip)."""
+    G, bn = ws.shape
+    gs = K // G
+    return jnp.broadcast_to(ws[:, None, :], (G, gs, bn)).reshape(K, bn)
+
+
 def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, *, fuse: str,
             w4: bool, a16: bool):
     w = _unpack_w4(w_ref[:]) if w4 else w_ref[:]
-    if a16:
-        # weight-only: dequant into the operand, bf16 MXU dot
-        wd = w.astype(jnp.bfloat16) * ws_ref[:].astype(jnp.bfloat16)
-        y = jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+    grouped = ws_ref.shape[0] > 1
+    if a16 or grouped:
+        # weight-only / group-quantized: dequant into the operand, bf16 MXU
+        # dot. Per-group scales cannot factor out of a single K-contraction,
+        # so they fold into the weight block here (int values <= 127 are
+        # exact in bf16; the scale multiply is the only rounding — same
+        # numerics as the W8A16 prologue).
+        ws = ws_ref[:]
+        if grouped:
+            ws = _expand_group_scale(ws, w.shape[0])
+        wd = w.astype(jnp.bfloat16) * ws.astype(jnp.bfloat16)
+        x = x_ref[:] if a16 else x_ref[:].astype(jnp.bfloat16)
+        y = jnp.dot(x, wd, preferred_element_type=jnp.float32)
+        if not a16:
+            y = y * xs_ref[:]
     else:
         acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]
@@ -75,9 +95,16 @@ def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, *, fuse: str,
 def _kernel_outlier(x_ref, w_ref, xs_ref, ws_ref, xo_ref, wo_ref, out_ref,
                     *, fuse: str, w4: bool, a16: bool):
     w = _unpack_w4(w_ref[:]) if w4 else w_ref[:]
-    if a16:
-        wd = w.astype(jnp.bfloat16) * ws_ref[:].astype(jnp.bfloat16)
-        y = jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+    grouped = ws_ref.shape[0] > 1
+    if a16 or grouped:
+        ws = ws_ref[:]
+        if grouped:
+            ws = _expand_group_scale(ws, w.shape[0])
+        wd = w.astype(jnp.bfloat16) * ws.astype(jnp.bfloat16)
+        x = x_ref[:] if a16 else x_ref[:].astype(jnp.bfloat16)
+        y = jnp.dot(x, wd, preferred_element_type=jnp.float32)
+        if not a16:
+            y = y * xs_ref[:]
     else:
         acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]
@@ -98,7 +125,7 @@ def mix_gemm(
     x: jax.Array,                   # int8 [M, K] (quantized act) | bf16 [M, K]
     w: jax.Array,                   # int8 [K, N] | uint8 [K/2, N] (W4 packed)
     x_scale: Optional[jax.Array] = None,   # f32 [M, 1] (int8 x only)
-    w_scale: Optional[jax.Array] = None,   # f32 [N]
+    w_scale: Optional[jax.Array] = None,   # f32 [N] | f32 [G, N] (grouped)
     x_outlier: Optional[jax.Array] = None,  # bf16 [M, B]
     w_outlier: Optional[jax.Array] = None,  # bf16 [B, N]
     fuse: str = "none",
@@ -118,6 +145,11 @@ def mix_gemm(
     if a16:
         # unused operand (pallas needs a concrete input); 1-lane dummy
         x_scale = jnp.ones((M, 1), jnp.float32)
+    w_scale = jnp.asarray(w_scale, jnp.float32)
+    if w_scale.ndim == 1:
+        w_scale = w_scale[None, :]
+    G = w_scale.shape[0]            # 1 = per-channel, >1 = per-group scales
+    assert K % G == 0, f"K={K} not divisible by scale groups G={G}"
 
     bm = min(block_m, _round_up(M, 32))
     bn = min(block_n, _round_up(N, 128))
@@ -130,8 +162,10 @@ def mix_gemm(
     Kw_est = K // 2 if w4 else K
 
     def _vmem(bm_, bn_):
-        blocks = 2 * (bm_ * K * x_item + Kw_est * bn_)
+        blocks = 2 * (bm_ * K * x_item + Kw_est * bn_) + 2 * G * bn_ * 4
         temps = bm_ * bn_ * 10          # i32 acc + f32 dequant + out tile
+        if G > 1 or a16:
+            temps += Kw_est * bn_ * 2 * (2 if w4 else 1)   # bf16 wd block
         if has_outlier:
             Bo_ = x_outlier.shape[1]
             blocks += 2 * (bm_ * Bo_ + Bo_ * bn_) * 2
@@ -154,7 +188,7 @@ def mix_gemm(
             x_outlier = jnp.pad(x_outlier, ((0, Mp - M), (0, 0)))
     if Np != N:
         w = jnp.pad(w, ((0, 0), (0, Np - N)))
-        w_scale = jnp.pad(w_scale, (0, Np - N))
+        w_scale = jnp.pad(w_scale, ((0, 0), (0, Np - N)))
         if has_outlier:
             w_outlier = jnp.pad(w_outlier, ((0, 0), (0, Np - N)))
 
@@ -164,9 +198,9 @@ def mix_gemm(
         pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Kw, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
-    args = [x, w, x_scale, w_scale[None, :].astype(jnp.float32)]
+    args = [x, w, x_scale, w_scale]
     if has_outlier:
         Bo = x_outlier.shape[1]
         in_specs += [

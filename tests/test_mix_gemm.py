@@ -96,6 +96,102 @@ class TestKernelParity:
                                    rtol=2e-2, atol=2e-2)
 
 
+class TestGroupedScales:
+    """Per-group [G, N] weight scales through the kernel (the q_group_size
+    parity gap that kept MIXQ_W4_PACKED off by default — PROFILE_r03 §4).
+    The kernel folds group scales into a bf16 weight-dequant prologue, so
+    parity vs the exact int-accumulate reference carries the scale-multiply's
+    bf16 rounding (measured <=0.3% of max|y|; negligible next to the ~6%
+    4-bit weight quantization error itself)."""
+
+    @staticmethod
+    def _assert_close(got, ref, bound=1e-2):
+        got, ref = np.asarray(got), np.asarray(ref)
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+        assert err < bound, f"normalized max err {err:.4f} >= {bound}"
+
+    def _ref_grouped(self, q_x, q_w, xs, ws_g, xo=None, wo=None, fuse="none"):
+        y = Q.grouped_int8_matmul_dequant(q_x, xs, q_w, ws_g)
+        if xo is not None:
+            y = y + jnp.dot(xo.astype(jnp.float32), wo.astype(jnp.float32))
+        if fuse == "silu":
+            y = jax.nn.silu(y)
+        return y
+
+    @pytest.mark.parametrize("M,K,N,G", [(1, 256, 384, 8), (33, 512, 256, 4)])
+    def test_w8a8_grouped(self, M, K, N, G):
+        ks = jax.random.split(jax.random.PRNGKey(10), 4)
+        q_x = _rand_int8(ks[0], (M, K))
+        q_w = _rand_int8(ks[1], (K, N))
+        xs = jax.random.uniform(ks[2], (M, 1), minval=0.01, maxval=0.1)
+        ws_g = jax.random.uniform(ks[3], (G, N), minval=0.01, maxval=0.1)
+        got = mix_gemm(q_x, q_w, xs, ws_g, out_dtype=jnp.float32,
+                       interpret=True)
+        ref = self._ref_grouped(q_x, q_w, xs, ws_g)
+        self._assert_close(got, ref)
+
+    @pytest.mark.parametrize("fuse", ["none", "silu"])
+    def test_w4_packed_grouped(self, fuse):
+        M, K, N, G = 16, 512, 384, 4
+        ks = jax.random.split(jax.random.PRNGKey(11), 4)
+        q_x = _rand_int8(ks[0], (M, K))
+        q_w4 = _rand_int8(ks[1], (K, N), -8, 7)
+        xs = jax.random.uniform(ks[2], (M, 1), minval=0.01, maxval=0.1)
+        ws_g = jax.random.uniform(ks[3], (G, N), minval=0.01, maxval=0.1)
+        got = mix_gemm(q_x, Q.pack_int4(q_w4), xs, ws_g, fuse=fuse,
+                       out_dtype=jnp.float32, interpret=True)
+        ref = self._ref_grouped(q_x, q_w4, xs, ws_g, fuse=fuse)
+        self._assert_close(got, ref)
+
+    def test_w4_packed_grouped_outlier(self):
+        M, K, N, G, B = 8, 256, 256, 8, 16
+        ks = jax.random.split(jax.random.PRNGKey(12), 6)
+        q_x = _rand_int8(ks[0], (M, K))
+        q_w4 = _rand_int8(ks[1], (K, N), -8, 7)
+        xs = jax.random.uniform(ks[2], (M, 1), minval=0.01, maxval=0.1)
+        ws_g = jax.random.uniform(ks[3], (G, N), minval=0.01, maxval=0.1)
+        xo = jax.random.normal(ks[4], (M, B), jnp.float32).astype(jnp.bfloat16)
+        wo = jax.random.normal(ks[5], (B, N), jnp.float32).astype(jnp.bfloat16)
+        got = mix_gemm(q_x, Q.pack_int4(q_w4), xs, ws_g, xo, wo,
+                       out_dtype=jnp.float32, interpret=True)
+        ref = self._ref_grouped(q_x, q_w4, xs, ws_g, xo, wo)
+        self._assert_close(got, ref)
+
+    def test_a16_grouped(self):
+        M, K, N, G = 16, 256, 384, 8
+        ks = jax.random.split(jax.random.PRNGKey(13), 3)
+        x = jax.random.normal(ks[0], (M, K), jnp.float32).astype(jnp.bfloat16)
+        q_w = _rand_int8(ks[1], (K, N), -8, 7)
+        ws_g = jax.random.uniform(ks[2], (G, N), minval=0.01, maxval=0.1)
+        got = mix_gemm(x, q_w, None, ws_g, out_dtype=jnp.float32,
+                       interpret=True)
+        gs = K // G
+        wd = (q_w.astype(jnp.bfloat16)
+              * jnp.repeat(ws_g, gs, axis=0).astype(jnp.bfloat16))
+        ref = jnp.dot(x, wd, preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_from_float_grouped_packed_matches_unpacked(self):
+        """group_size + pack='packed' must now keep the packed uint8 storage
+        (no silent fallback) and match the widened path numerically."""
+        K, N = 128, 96
+        w = jax.random.normal(jax.random.PRNGKey(14), (K, N), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(15), (3, K), jnp.float32
+                              ).astype(jnp.bfloat16)
+        spec = LinearSpec(w_bit=4, a_bit=4, version="MIX", group_size=32)
+        p_packed = from_float(w, spec, pack="packed")
+        p_plain = from_float(w, spec, pack=False)
+        assert p_packed.q_weight.dtype == jnp.uint8
+        assert p_packed.q_weight.shape == (K // 2, N)
+        assert p_packed.w_scale.shape == (K // 32, N)
+        y1 = mixed_linear(p_packed, x, spec)
+        y2 = mixed_linear(p_plain, x, spec)
+        np.testing.assert_allclose(np.asarray(y1, np.float32),
+                                   np.asarray(y2, np.float32),
+                                   rtol=1e-3, atol=1e-3)
+
+
 class TestPackedStorage:
     def test_pack_halves_roundtrip_odd_values(self):
         q = _rand_int8(jax.random.PRNGKey(4), (64, 32), -8, 7)
