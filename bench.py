@@ -111,8 +111,10 @@ def main():
     elif w_bits == 4:
         from mixq_tpu.config import QuantConfig
         from mixq_tpu.quantize import resolve_specs
-        # W4A4 with the reference policy (down/o forced 8-bit)
-        specs = resolve_specs(QuantConfig.w4a4())
+        # W4A4 with the reference policy (down/o forced 8-bit);
+        # BENCH_GROUP>0 adds per-group weight scales (q_group_size)
+        specs = resolve_specs(QuantConfig.w4a4(
+            q_group_size=int(os.environ.get("BENCH_GROUP", "-1"))))
     else:
         specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
     attn_impl = os.environ.get("BENCH_ATTN", "auto")

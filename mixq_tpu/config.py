@@ -206,6 +206,11 @@ class EngineConfig:
     # batch-major when spec_k > 1) and no sliding window.
     spec_k: int = 0
     spec_ngram: int = 3
+    # device spec window: with device_decode_loop, chain spec_window_r
+    # draft+verify+accept rounds in ONE dispatch (drafting runs ON DEVICE,
+    # speculative.propose_ngram_device) — the host-loop spec path pays a
+    # relay round-trip per verify forward
+    spec_window_r: int = 8
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -195,8 +195,14 @@ class ContinuousBatchingEngine:
 
             self._drafter = make_drafter(self.n_slots,
                                          prefer_native_scheduler)
+            # device-window drafting state (host mirror of the on-device
+            # history; rewritten per admit, synced back per window)
+            self._hist_np = np.zeros((self.n_slots, self.max_seq), np.int32)
+            self._hlen_np = np.zeros((self.n_slots,), np.int32)
         else:
             self._drafter = None
+            self._hist_np = None
+            self._hlen_np = None
         self._next_id = 0
         self._key = jax.random.PRNGKey(0)
         self._sampling_dev = None     # cached per-slot sampling arrays
@@ -497,6 +503,145 @@ class ContinuousBatchingEngine:
                 self._drafter.append(slot, kept)
         return len(active)
 
+    def _get_spec_window(self):
+        """spec_window_r rounds of draft+verify+accept as ONE compiled
+        program: the n-gram drafter runs ON DEVICE against a per-slot
+        history buffer (speculative.propose_ngram_device), the verify
+        forward is the same T=spec_k program step_spec uses, and the
+        acceptance/emission/history updates are all in-scan — so the
+        host pays one dispatch + fetch per R verify forwards instead of
+        one per forward (through the relay that round-trip is ~100ms,
+        which dominated step_spec's per-forward cost at serving batch)."""
+        fn = self._windows.get("spec_window")
+        if fn is not None:
+            return fn
+        from mixq_tpu.engine.speculative import (accept_greedy,
+                                                 propose_ngram_device)
+
+        specs_, mc = self.specs, self.cfg
+        k = self.ecfg.spec_k
+        n = self.ecfg.spec_ngram
+        R = self.ecfg.spec_window_r
+        S = self.max_seq
+        H = self._hist_np.shape[1]
+        nb = self.n_slots
+        mesh = self.mesh
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def spec_window(params, cur_tokens, cache, lengths, hist, hlen,
+                        active, key, temp, topk, topp):
+            greedy = temp <= 0.0
+
+            def one(c, _):
+                cur, cache, lengths, hist, hlen, key = c
+                key, sub = jax.random.split(key)
+                draft, dlen = propose_ngram_device(hist, hlen, n, k - 1)
+                dlen = jnp.where(greedy & active, dlen, 0)
+                feed = jnp.concatenate([cur[:, None], draft], axis=1)
+                logits, cache = forward(params, feed, cache, specs_, mc,
+                                        slot_lengths=lengths,
+                                        decode_mesh=mesh)
+                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                lsm = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                plp = jnp.take_along_axis(
+                    lsm, preds[..., None], axis=-1)[..., 0]
+                s_tok = sample_per_slot(logits[:, 0], sub, temp, topk, topp)
+                s_lp = chosen_logprob(logits[:, 0], s_tok)
+                a = accept_greedy(preds[:, :k - 1], draft, dlen)
+                e = jnp.where(greedy, a + 1, 1)
+                e = jnp.where(active, e, 0).astype(jnp.int32)
+                emitted = jnp.where(
+                    greedy[:, None], preds,
+                    jnp.concatenate([s_tok[:, None], preds[:, 1:]], axis=1))
+                elp = jnp.where(
+                    greedy[:, None], plp,
+                    jnp.concatenate([s_lp[:, None], plp[:, 1:]], axis=1))
+                last = jnp.take_along_axis(
+                    emitted, jnp.clip(e - 1, 0, k - 1)[:, None], axis=1)[:, 0]
+                cur = jnp.where(e > 0, last, cur)
+                # append emitted tokens to the history (out-of-range ->
+                # dropped; a full history just stops drafting)
+                pos = hlen[:, None] + jnp.arange(k)[None, :]
+                valid = (jnp.arange(k)[None, :] < e[:, None]) & (pos < H)
+                pos = jnp.where(valid, pos, H)
+                bi = jnp.broadcast_to(jnp.arange(nb)[:, None], pos.shape)
+                hist = hist.at[bi, pos].set(emitted, mode="drop")
+                hlen = jnp.minimum(hlen + e, H)
+                # clamp: the NEXT verify writes k KV rows at lengths..+k-1
+                lengths = jnp.minimum(lengths + e, S - k)
+                return ((cur, cache, lengths, hist, hlen, key),
+                        (emitted, elp, e, dlen))
+
+            carry = (cur_tokens, cache, lengths, hist, hlen, key)
+            (cur, cache, lengths, hist, hlen, key), \
+                (toks, lps, cnts, dlens) = jax.lax.scan(
+                    one, carry, None, length=R)
+            return toks, lps, cnts, dlens, cache, hist, hlen
+
+        self._windows["spec_window"] = (spec_window, R)
+        return spec_window, R
+
+    def step_spec_window(self, sampling: SamplingParams = SamplingParams(),
+                         eos_token_id: Optional[int] = None) -> int:
+        """Admit, then run spec_window_r speculative rounds on device in
+        one dispatch (the spec counterpart of step_window — same
+        discard-after-finish and boundary-admission semantics; greedy
+        rows stay bit-identical to plain greedy decode). Returns the
+        number of slots active in the window."""
+        admits = self.sched.admit()
+        if admits:
+            self._admit_many(admits)
+        active = self.sched.active_slots()
+        if not active:
+            return 0
+        active_np = np.zeros((self.n_slots,), bool)
+        active_np[active] = True
+        self._key, sub = jax.random.split(self._key)
+        fn, R = self._get_spec_window()
+        toks, lps, cnts, dlens, self.cache, hist_d, hlen_d = fn(
+            self.params, jnp.asarray(self.cur_tokens), self.cache,
+            jnp.asarray(self.lengths), jnp.asarray(self._hist_np),
+            jnp.asarray(self._hlen_np), jnp.asarray(active_np), sub,
+            *self._sampling_arrays(sampling))
+        toks = np.asarray(toks)                    # [R, n_slots, k]
+        lps = np.asarray(lps)
+        cnts = np.asarray(cnts)                    # [R, n_slots]
+        dlens = np.asarray(dlens)
+        self._hist_np = np.asarray(hist_d)
+        self._hlen_np = np.asarray(hlen_d)
+        self.spec_stats["forwards"] += R
+
+        running = set(active)
+        for r in range(R):
+            if not running:
+                break
+            for slot in list(running):
+                rid = self._slot_req[slot]
+                e = int(cnts[r, slot])
+                sp = self._slot_sampling.get(slot) or sampling
+                if sp.temperature <= 0.0:
+                    self.spec_stats["drafted"] += int(dlens[r, slot])
+                    self.spec_stats["accepted"] += max(e - 1, 0)
+                self.spec_stats["emitted"] += e
+                for j in range(e):
+                    tok = int(toks[r, slot, j])
+                    self._outputs[rid].append(tok)
+                    self._logprobs[rid].append(float(lps[r, slot, j]))
+                    self.lengths[slot] += 1
+                    self.cur_tokens[slot] = tok
+                    state = self.sched.on_token(slot)
+                    if state == 1:
+                        self._finish_request(slot, rid)
+                        running.discard(slot)
+                        break
+                    if (tok in self._slot_stop.get(slot, ())
+                            or (eos_token_id is not None
+                                and tok == eos_token_id)):
+                        self.finish_slot(slot)
+                        running.discard(slot)
+                        break
+        return len(active)
+
     # -- device decode window ------------------------------------------------
 
     def _get_window(self):
@@ -670,6 +815,10 @@ class ContinuousBatchingEngine:
             self._slot_req[slot] = rid
             if self._drafter is not None:
                 self._drafter.reset(slot, prompt)
+                hl = min(len(prompt), self.max_seq)
+                self._hist_np[slot, :hl] = prompt[-hl:]
+                self._hist_np[slot, hl:] = 0
+                self._hlen_np[slot] = hl
             self._slot_sampling[slot] = self._req_sampling.pop(rid, None)
             self._slot_stop[slot] = self._req_stop.pop(rid, frozenset())
             self._sampling_dev = None

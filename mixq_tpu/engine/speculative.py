@@ -46,6 +46,52 @@ def propose_ngram(history: Sequence[int], n: int, k: int) -> List[int]:
     return []
 
 
+def propose_ngram_device(hist: jax.Array, hlen: jax.Array, n: int, k: int
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Vectorized prompt-lookup drafting for a whole slot batch ON DEVICE —
+    the jittable form of `propose_ngram`, row for row, so a decode window
+    can draft+verify+accept R times in ONE dispatch (the host-loop spec
+    path pays a ~100ms relay round-trip per verify forward; the window
+    pays one per R forwards — the same economics as step_window).
+
+    hist: [B, H] int32 per-slot token history (left-aligned), hlen: [B]
+    valid lengths. Returns (draft [B, k] int32, draft_len [B] int32):
+    per row, up to k followers of the most recent EARLIER occurrence of
+    the trailing n-gram (0 when it never occurred — same semantics as
+    propose_ngram(history, n, k), differentially tested)."""
+    B, H = hist.shape
+    P = H - n + 1                       # candidate n-gram start positions
+    tail_idx = hlen[:, None] - n + jnp.arange(n)[None, :]
+    tail = jnp.take_along_axis(hist, jnp.clip(tail_idx, 0, H - 1), axis=1)
+    m = jnp.ones((B, P), bool)
+    for j in range(n):                  # static unroll; n is tiny (2-4)
+        m &= hist[:, j:P + j] == tail[:, j:j + 1]
+    p = jnp.arange(P)[None, :]
+    # earlier occurrence only, with at least one follower in-history
+    # (propose_ngram scans start <= len-n-1), and a long-enough history
+    m &= p <= hlen[:, None] - n - 1
+    m &= hlen[:, None] > n
+    p_star = jnp.max(jnp.where(m, p, -1), axis=1)              # [B]
+    has = p_star >= 0
+    fol_idx = p_star[:, None] + n + jnp.arange(k)[None, :]
+    draft = jnp.take_along_axis(hist, jnp.clip(fol_idx, 0, H - 1), axis=1)
+    draft_len = jnp.where(
+        has, jnp.minimum(k, hlen - (p_star + n)), 0).astype(jnp.int32)
+    return draft.astype(jnp.int32), draft_len
+
+
+def accept_greedy(preds: jax.Array, draft: jax.Array, draft_len: jax.Array
+                  ) -> jax.Array:
+    """Per-row accepted-prefix length: how many leading draft tokens the
+    model's own argmax agrees with (preds[j] consumed feed[:j+1], so
+    agreement at j validates position j+1's context). preds/draft [B, k],
+    draft_len [B]; returns [B] int32 in [0, draft_len]."""
+    j = jnp.arange(draft.shape[1])[None, :]
+    match = (preds == draft) & (j < draft_len[:, None])
+    lead = jnp.cumprod(match.astype(jnp.int32), axis=1)
+    return jnp.sum(lead, axis=1).astype(jnp.int32)
+
+
 def generate_speculative(
     engine,
     prompt: Sequence[int],

@@ -64,24 +64,41 @@ def _expand_group_scale(ws: jax.Array, K: int) -> jax.Array:
     return jnp.broadcast_to(ws[:, None, :], (G, gs, bn)).reshape(K, bn)
 
 
+def _grouped_int8_dot(xg: jax.Array, w: jax.Array, ws: jax.Array,
+                      xs: jax.Array) -> jax.Array:
+    """Group-quantized int8 GEMM as ONE G-batched MXU dot.
+
+    xg: [G, bm, gs] int8 (the wrapper pre-shapes the activation — cheap:
+    the activation is tiny next to the streamed weight), w: [K, bn] int8,
+    ws: [G, bn] f32, xs: [bm, 1] f32. Per-group scales cannot factor out
+    of a single K-contraction; batching the contraction per group keeps
+    the int8 MXU path (a bf16 weight-dequant prologue was measured 27%
+    slower in-model at B=32 — the 2-pass VPU rewrite of the whole weight
+    block dominates the bandwidth-bound step)."""
+    G, bm, gs = xg.shape
+    wg = w.reshape(G, gs, w.shape[1])
+    acc = jax.lax.dot_general(
+        xg, wg, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)            # [G, bm, bn]
+    y = jnp.sum(acc.astype(jnp.float32) * ws[:, None, :], axis=0)
+    return y * xs
+
+
 def _kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, *, fuse: str,
             w4: bool, a16: bool):
     w = _unpack_w4(w_ref[:]) if w4 else w_ref[:]
     grouped = ws_ref.shape[0] > 1
-    if a16 or grouped:
-        # weight-only / group-quantized: dequant into the operand, bf16 MXU
-        # dot. Per-group scales cannot factor out of a single K-contraction,
-        # so they fold into the weight block here (int values <= 127 are
-        # exact in bf16; the scale multiply is the only rounding — same
-        # numerics as the W8A16 prologue).
+    if grouped and not a16:
+        y = _grouped_int8_dot(x_ref[:], w, ws_ref[:], xs_ref[:])
+    elif a16:
+        # weight-only: dequant into the operand, bf16 MXU dot. Grouped
+        # scales fold into the weight block (int values <= 127 are exact
+        # in bf16; the scale multiply is the only rounding).
         ws = ws_ref[:]
         if grouped:
             ws = _expand_group_scale(ws, w.shape[0])
         wd = w.astype(jnp.bfloat16) * ws.astype(jnp.bfloat16)
-        x = x_ref[:] if a16 else x_ref[:].astype(jnp.bfloat16)
-        y = jnp.dot(x, wd, preferred_element_type=jnp.float32)
-        if not a16:
-            y = y * xs_ref[:]
+        y = jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
     else:
         acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]
@@ -96,15 +113,14 @@ def _kernel_outlier(x_ref, w_ref, xs_ref, ws_ref, xo_ref, wo_ref, out_ref,
                     *, fuse: str, w4: bool, a16: bool):
     w = _unpack_w4(w_ref[:]) if w4 else w_ref[:]
     grouped = ws_ref.shape[0] > 1
-    if a16 or grouped:
+    if grouped and not a16:
+        y = _grouped_int8_dot(x_ref[:], w, ws_ref[:], xs_ref[:])
+    elif a16:
         ws = ws_ref[:]
         if grouped:
             ws = _expand_group_scale(ws, w.shape[0])
         wd = w.astype(jnp.bfloat16) * ws.astype(jnp.bfloat16)
-        x = x_ref[:] if a16 else x_ref[:].astype(jnp.bfloat16)
-        y = jnp.dot(x, wd, preferred_element_type=jnp.float32)
-        if not a16:
-            y = y * xs_ref[:]
+        y = jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
     else:
         acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]
@@ -161,10 +177,16 @@ def mix_gemm(
     x_item = 2 if a16 else 1
     Kw_est = K // 2 if w4 else K
 
+    grouped_a8 = G > 1 and not a16
+
     def _vmem(bm_, bn_):
         blocks = 2 * (bm_ * K * x_item + Kw_est * bn_) + 2 * G * bn_ * 4
         temps = bm_ * bn_ * 10          # i32 acc + f32 dequant + out tile
-        if G > 1 or a16:
+        if grouped_a8:
+            temps += G * bm_ * bn_ * 4          # [G, bm, bn] i32 batched acc
+            if w4:
+                temps += K * bn_                # unpacked int8 weight block
+        elif a16 or G > 1:
             temps += Kw_est * bn_ * 2 * (2 if w4 else 1)   # bf16 wd block
         if has_outlier:
             Bo_ = x_outlier.shape[1]
@@ -194,8 +216,20 @@ def mix_gemm(
 
     Kw = w.shape[0]          # K or K/2 (packed)
     grid = (Mp // bm, Np // bn)
+    if grouped_a8:
+        # pre-shape the activation to [G, M, gs] so the kernel's grouped
+        # contraction is ONE G-batched MXU dot (batch dims at operand
+        # position 0, per the Mosaic batched-dot rule) — the reshape +
+        # transpose is an XLA pass over the SMALL operand only
+        gs = K // G
+        x = x.reshape(Mp, G, gs).transpose(1, 0, 2)
+        x_spec = pl.BlockSpec((G, bm, gs), lambda i, j: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        x_spec,
         pl.BlockSpec((Kw, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((G, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
