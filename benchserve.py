@@ -17,9 +17,11 @@ Prints ONE JSON line. Env knobs:
   BENCH_PROMPT_MAX (default 64)         BENCH_NEW_MAX (default 64)
   BENCH_SEQ (max_seq, default 256)      BENCH_KV (bfloat16|int8)
   BENCH_ATTN (auto|flash|xla)           BENCH_WARMUP (1: pre-compile)
-  BENCH_SPEC_K (default 0 — >1 serves via step_spec: every decode step is
-      a T=k verify forward, greedy rows draft prompt-lookup n-grams and
-      emit their accepted prefix; reports acceptance + emitted/forward)
+  BENCH_SPEC_K (default 0 — >1 serves speculatively: greedy rows draft
+      prompt-lookup n-grams and emit their accepted prefix; reports
+      acceptance + emitted/forward. Default path is the DEVICE spec
+      window (spec_window_r verify rounds per dispatch, on-device
+      drafting); BENCH_SPEC_HOST=1 forces the host-loop step_spec)
 """
 import json
 import os
@@ -114,7 +116,13 @@ def main():
             admitted += 1
         t_w = time.time()
         if spec_k > 1:
-            eng.step_spec()
+            # device spec window by default (R draft+verify+accept rounds
+            # per dispatch); BENCH_SPEC_HOST=1 forces the host-loop
+            # step_spec (one verify forward per relay round-trip) for A/B
+            if os.environ.get("BENCH_SPEC_HOST", "0") == "1":
+                eng.step_spec()
+            else:
+                eng.step_spec_window()
         else:
             eng.step_window()
         dt = time.time() - t_w

@@ -87,6 +87,10 @@ def main():
         "fp16": None,
         "mix8": QuantConfig.w8a8(),
         "mix4": QuantConfig.w4a4(),
+        # grouped W4: per-group scales cut 4-bit weight error; rides the
+        # packed mix_gemm path at per-channel speed. 64 divides every
+        # preset's hidden AND intermediate dim (mid's 2752 bars 128)
+        "mix4_g64": QuantConfig.w4a4(q_group_size=64),
         "quik": QuantConfig.quik_w4a4(),
     }
     rows, ppl_fp = [], {}

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--eos_token_id", type=int, default=None)
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile the serving program set first")
+    ap.add_argument("--spec_k", type=int, default=0,
+                    help=">1: speculative serving (device spec window — "
+                         "greedy rows draft prompt-lookup n-grams on "
+                         "device, bit-identical output, fewer forwards)")
+    ap.add_argument("--spec_ngram", type=int, default=3)
     ap.add_argument("--logprobs", action="store_true",
                     help="include per-token logprobs in output records")
     ap.add_argument("--out", default="-")
@@ -61,7 +66,8 @@ def main():
     eng = AutoModel.serving_engine(
         args.model_path,
         EngineConfig(max_batch_size=args.slots, max_seq_len=args.max_seq,
-                     kv_dtype=args.kv_dtype))
+                     kv_dtype=args.kv_dtype, spec_k=args.spec_k,
+                     spec_ngram=args.spec_ngram))
     if args.warmup:
         n = eng.warmup()
         print(f"warmup: {n} programs compiled", file=sys.stderr)
@@ -75,7 +81,10 @@ def main():
     def drain(block: bool):
         nonlocal step
         while eng.has_work:
-            eng.step_window(eos_token_id=eos)
+            if args.spec_k > 1:
+                eng.step_spec_window(eos_token_id=eos)
+            else:
+                eng.step_window(eos_token_id=eos)
             step += 1
             for rid, r in eng.finished_records().items():
                 ids = r["tokens"]

@@ -356,15 +356,31 @@ class ContinuousBatchingEngine:
                 aval((self.n_slots,), jnp.int32),
                 aval((self.n_slots,), jnp.float32)).compile()
             n += 1
-        window, _ = self._get_window()
-        window.lower(
-            self.params, aval((self.n_slots,), jnp.int32), cache_avals,
-            aval((self.n_slots,), jnp.int32),
-            aval((self.n_slots,), jnp.bool_), aval((2,), jnp.uint32),
-            aval((self.n_slots,), jnp.float32),
-            aval((self.n_slots,), jnp.int32),
-            aval((self.n_slots,), jnp.float32)).compile()
-        n += 1
+            if self.ecfg.device_decode_loop:
+                spec_win, _ = self._get_spec_window()
+                spec_win.lower(
+                    self.params, aval((self.n_slots,), jnp.int32),
+                    cache_avals, aval((self.n_slots,), jnp.int32),
+                    aval(self._hist_np.shape, jnp.int32),
+                    aval((self.n_slots,), jnp.int32),
+                    aval((self.n_slots,), jnp.bool_),
+                    aval((2,), jnp.uint32),
+                    aval((self.n_slots,), jnp.float32),
+                    aval((self.n_slots,), jnp.int32),
+                    aval((self.n_slots,), jnp.float32)).compile()
+                n += 1
+        if self.ecfg.spec_k <= 1:
+            # spec engines serve through the spec window (above) — don't
+            # spend minutes compiling a plain window they never dispatch
+            window, _ = self._get_window()
+            window.lower(
+                self.params, aval((self.n_slots,), jnp.int32), cache_avals,
+                aval((self.n_slots,), jnp.int32),
+                aval((self.n_slots,), jnp.bool_), aval((2,), jnp.uint32),
+                aval((self.n_slots,), jnp.float32),
+                aval((self.n_slots,), jnp.int32),
+                aval((self.n_slots,), jnp.float32)).compile()
+            n += 1
         if self.cache.k_tail is not None:
             self._flush.lower(cache_avals,
                               aval((self.n_slots,), jnp.int32)).compile()
@@ -607,8 +623,10 @@ class ContinuousBatchingEngine:
         lps = np.asarray(lps)
         cnts = np.asarray(cnts)                    # [R, n_slots]
         dlens = np.asarray(dlens)
-        self._hist_np = np.asarray(hist_d)
-        self._hlen_np = np.asarray(hlen_d)
+        # np.array (copy): asarray views of device buffers are read-only,
+        # and _admit_many writes reused slots' history rows in place
+        self._hist_np = np.array(hist_d)
+        self._hlen_np = np.array(hlen_d)
         self.spec_stats["forwards"] += R
 
         running = set(active)
@@ -771,8 +789,11 @@ class ContinuousBatchingEngine:
         steps = 0
         use_spec = self.ecfg.spec_k > 1
         use_window = self.ecfg.device_decode_loop and not use_spec
+        spec_window = use_spec and self.ecfg.device_decode_loop
         while self.has_work and steps < max_steps:
-            if use_spec:
+            if spec_window:
+                self.step_spec_window(sampling, eos_token_id=eos_token_id)
+            elif use_spec:
                 self.step_spec(sampling, eos_token_id=eos_token_id)
             elif use_window:
                 self.step_window(sampling, eos_token_id=eos_token_id)

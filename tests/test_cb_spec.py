@@ -179,6 +179,139 @@ class TestSpecSoak:
         assert got == ref
 
 
+class TestDeviceSpecWindow:
+    """step_spec_window: R draft+verify+accept rounds in ONE dispatch with
+    ON-DEVICE n-gram drafting — the serving spec path (host-loop step_spec
+    pays a relay round-trip per verify forward)."""
+
+    def test_propose_device_matches_python(self):
+        """propose_ngram_device row semantics == propose_ngram, including
+        draft lengths, over randomized repetitive histories."""
+        import random
+
+        import jax.numpy as jnp
+
+        from mixq_tpu.engine.speculative import (propose_ngram,
+                                                 propose_ngram_device)
+
+        rng = random.Random(7)
+        H = 48
+        for trial in range(40):
+            B = rng.randint(1, 4)
+            hists, hlens = np.zeros((B, H), np.int32), np.zeros(B, np.int32)
+            rows = []
+            for b in range(B):
+                base = [rng.randrange(0, 6) for _ in range(rng.randint(1, 8))]
+                h = (base * 5)[:rng.randint(1, H)]
+                rows.append(h)
+                hists[b, :len(h)] = h
+                hlens[b] = len(h)
+            for n in (1, 2, 3):
+                for k in (1, 3, 7):
+                    draft, dlen = propose_ngram_device(
+                        jnp.asarray(hists), jnp.asarray(hlens), n, k)
+                    draft, dlen = np.asarray(draft), np.asarray(dlen)
+                    for b, h in enumerate(rows):
+                        want = propose_ngram(h, n, k)
+                        assert dlen[b] == len(want), (h, n, k)
+                        assert list(draft[b, :dlen[b]]) == want, (h, n, k)
+
+    def test_accept_greedy(self):
+        import jax.numpy as jnp
+
+        from mixq_tpu.engine.speculative import accept_greedy
+
+        preds = jnp.asarray([[3, 4, 5], [3, 9, 5], [7, 8, 9]], jnp.int32)
+        draft = jnp.asarray([[3, 4, 5], [3, 4, 5], [7, 8, 9]], jnp.int32)
+        dlen = jnp.asarray([3, 3, 1], jnp.int32)
+        a = np.asarray(accept_greedy(preds, draft, dlen))
+        assert list(a) == [3, 1, 1]
+
+    @pytest.mark.parametrize("kv", ["bfloat16", "int8"])
+    def test_window_bit_identical(self, model, kv):
+        """Device spec window == plain greedy, tokens AND logprobs, and
+        the device drafter must actually accept (the repetitive prompts
+        guarantee matches)."""
+        budgets = [20, 16, 12]
+
+        eng_ref = make_engine(model, spec_k=0, kv=kv)
+        ids_r = [eng_ref.add_request(p, b) for p, b in zip(PROMPTS, budgets)]
+        recs_r = {}
+        while eng_ref.has_work:
+            eng_ref.step()
+            recs_r.update(eng_ref.finished_records())
+
+        eng_s = make_engine(model, spec_k=4, kv=kv)
+        ids_s = [eng_s.add_request(p, b) for p, b in zip(PROMPTS, budgets)]
+        recs_s = {}
+        steps = 0
+        while eng_s.has_work:
+            eng_s.step_spec_window()
+            recs_s.update(eng_s.finished_records())
+            steps += 1
+            assert steps < 100
+        for rr, rs in zip(ids_r, ids_s):
+            assert recs_s[rs]["tokens"] == recs_r[rr]["tokens"]
+            np.testing.assert_allclose(recs_s[rs]["logprobs"],
+                                       recs_r[rr]["logprobs"],
+                                       rtol=1e-4, atol=1e-5)
+        st = eng_s.spec_stats
+        assert st["accepted"] > 0, "device drafter never accepted"
+
+    def test_window_soak_with_churn(self, model):
+        """Slot churn through the window path: staggered arrivals +
+        mixed budgets, every request matches plain greedy (slot reuse
+        must rewrite the on-device history rows)."""
+        import random
+
+        rng = random.Random(13)
+        prompts = []
+        for _ in range(8):
+            base = [rng.randrange(1, 250) for _ in range(rng.randint(2, 5))]
+            prompts.append((base * 3)[:rng.randint(3, 12)])
+        budgets = [rng.randint(1, 12) for _ in prompts]
+
+        def run(spec_k):
+            eng = make_engine(model, spec_k=spec_k, n_slots=3)
+            ids, results = [], {}
+            pending = list(zip(prompts, budgets))
+            steps = 0
+            while pending or eng.has_work:
+                if pending and rng.random() < 0.6:
+                    p, b = pending.pop(0)
+                    ids.append(eng.add_request(p, b))
+                if spec_k > 1:
+                    eng.step_spec_window()
+                else:
+                    eng.step()
+                results.update(eng.finished())
+                steps += 1
+                assert steps < 800
+            return [results[r] for r in ids]
+
+        rng_state = rng.getstate()
+        ref = run(0)
+        rng.setstate(rng_state)
+        got = run(4)
+        assert got == ref
+
+    def test_sampled_rows_in_window(self, model):
+        """Heterogeneous window: greedy rows unperturbed by a sampled
+        neighbor, sampled row emits its full budget."""
+        eng = make_engine(model, spec_k=4)
+        g1 = eng.add_request(PROMPTS[0], 10)
+        s = eng.add_request([4, 4, 2], 10,
+                            sampling=SamplingParams(temperature=0.8,
+                                                    top_k=8))
+        out = eng.run_to_completion()   # routes through step_spec_window
+
+        eng_ref = make_engine(model, spec_k=0)
+        gr = eng_ref.add_request(PROMPTS[0], 10)
+        ref = eng_ref.run_to_completion()
+        assert out[g1] == ref[gr]
+        assert len(out[s]) == 10
+
+
 class TestNativeDrafter:
     def test_native_matches_python(self):
         """The C++ n-gram matcher must propose exactly what the Python
