@@ -5,6 +5,11 @@ from mixq_tpu.parallel.mesh import (
     make_mesh,
     multihost_mesh,
 )
+from mixq_tpu.parallel.pipeline import (
+    pipeline_forward,
+    shard_stage_params,
+    stage_params,
+)
 from mixq_tpu.parallel.ring_attention import ring_attention
 from mixq_tpu.parallel.sharding import (
     decoder_pspecs,
@@ -19,6 +24,9 @@ __all__ = [
     "make_mesh",
     "multihost_mesh",
     "initialize_distributed",
+    "pipeline_forward",
+    "stage_params",
+    "shard_stage_params",
     "ring_attention",
     "decoder_pspecs",
     "kv_cache_pspecs",

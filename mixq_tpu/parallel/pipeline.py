@@ -1,0 +1,193 @@
+"""Pipeline parallelism: GPipe-style microbatched inference over a mesh axis.
+
+The reference has no pipeline runtime (its multi-GPU story is `device_map`
+weight placement — SURVEY §2.8); ICI tensor parallelism + data parallelism
+remain this framework's first-choice scaling strategy for <=70B serving
+(PARITY.md §Parallelism records the trade). This module exists for the
+capacity regime those don't reach: models whose weights exceed one
+TP-reachable ICI domain, where stages must live on different hosts and
+activations — not weight shards — cross the slow links.
+
+TPU-native shape (one compiled program, no host scheduling):
+
+  * layers are split into `n_stages` contiguous stages; each stage's
+    layers are STACKED ([n_stages, L/ns, ...] leaves) and sharded over
+    the mesh axis, so every device holds exactly its stage's weights —
+    jax.sharding places them, no manual transfers;
+  * the batch is split into M microbatches; inside one `shard_map`, the
+    pipeline runs M + ns - 1 ticks: stage s processes microbatch t - s
+    at tick t and hands its activation to stage s+1 via `ppermute`
+    (point-to-point ICI/DCN neighbor traffic — the PP win over TP's
+    all-reduces on slow links);
+  * bubble ticks (t - s outside [0, M)) compute garbage on purpose —
+    static shapes, no lax.cond — and their KV writes land in a SINK
+    microbatch slot appended to the cache's batch dim (a conditional
+    cache write would copy the multi-GB buffer: PROFILE_r02's
+    lax.cond-aliasing lesson). Utilization is M / (M + ns - 1).
+
+Scope (documented, asserted): uniform-spec dense blocks (the scan-path
+requirement), batch-major bf16 KV cache, fresh prefill + in-place decode.
+Sliding windows / ALiBi / quantized KV / MoE stay on the TP engine.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+
+def stage_params(params, n_stages: int):
+    """Re-stack DecoderParams for `n_stages` pipeline stages.
+
+    Returns params with `stacked` leaves reshaped [L, ...] ->
+    [n_stages, L/ns, ...]; place the result with `shard_stage_params`
+    so leaf dim 0 lands on the pipe axis (each device then holds one
+    stage's layers and nothing else).
+    """
+    from mixq_tpu.models.decoder import stack_decoder_params
+
+    st = params if params.stacked is not None else stack_decoder_params(
+        params)
+
+    def split(a):
+        L = a.shape[0]
+        assert L % n_stages == 0, (
+            f"layers ({L}) must divide evenly into {n_stages} stages")
+        return a.reshape(n_stages, L // n_stages, *a.shape[1:])
+
+    return st._replace(stacked=jax.tree.map(split, st.stacked))
+
+
+def shard_stage_params(params, mesh: Mesh, axis: str = "pipe"):
+    """Place stage-stacked params: blocks by stage over `axis`, the
+    embedding/head/final-norm replicated (they run outside the staged
+    region)."""
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    stacked = jax.tree.map(lambda a: put(a, P(axis)), params.stacked)
+    rep = params._replace(stacked=None)
+    rep = jax.tree.map(lambda a: put(a, P()), rep)
+    return rep._replace(stacked=stacked)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("specs", "cfg", "mesh", "axis", "microbatches"))
+def pipeline_forward(
+    params,                      # DecoderParams, stage-stacked (stage_params)
+    tokens: jax.Array,           # [B, T] int32
+    cache,                       # KVCache, batch-major bf16, [L, B, S, h, d]
+    specs,                       # DecoderSpecs (uniform)
+    cfg,                         # ModelConfig
+    mesh: Mesh,
+    axis: str = "pipe",
+    microbatches: Optional[int] = None,
+) -> Tuple[jax.Array, object]:
+    """Pipelined decoder forward: same (logits, cache) contract as
+    models.decoder.forward for the supported scope (fresh prefill chunk
+    or T=1 decode on a batch-major bf16 cache).
+
+    Differentially tested against the single-device forward
+    (tests/test_pipeline.py) on the virtual mesh.
+    """
+    from mixq_tpu.models.decoder import _norm, block_core
+    from mixq_tpu.models.layers import attend, rope_cos_sin
+
+    assert params.stacked is not None, "pipeline needs stage_params()"
+    ns = mesh.shape[axis]
+    if cache.quantized or cache.head_major or cache.k_tail is not None:
+        raise NotImplementedError(
+            "pipeline_forward serves the batch-major bf16 cache; int8/"
+            "head-major/tail caches stay on the TP engine")
+    if cfg.sliding_window is not None or cfg.alibi:
+        raise NotImplementedError(
+            "sliding-window/ALiBi models stay on the TP engine")
+    B, T = tokens.shape
+    M = microbatches or ns
+    assert B % M == 0, f"batch {B} must divide into {M} microbatches"
+    b = B // M
+    L, _, S = cache.k.shape[:3]
+    lps = L // ns
+    H = cfg.hidden_size
+
+    # ---- replicated preamble (same math as forward's, minimal scope) ----
+    x = jnp.take(params.embed, tokens, axis=0).astype(
+        jnp.dtype(specs.wqkv.out_dtype))
+    if cfg.embed_multiplier != 1.0:
+        x = x * jnp.asarray(cfg.embed_multiplier, x.dtype)
+    q_slot = cache.length + jnp.arange(T, dtype=jnp.int32)
+    kv_len = cache.length + T
+    rot = cfg.rotary_dim or cfg.head_dim_
+    cos, sin = rope_cos_sin(q_slot, rot, cfg.rope_theta)
+    x_mb = x.reshape(M, b, T, H)
+
+    # sink microbatch slot: bubble-tick KV writes land at batch offset
+    # M*b and are sliced off afterwards
+    def pad_sink(a):
+        return jnp.pad(a, ((0, 0), (0, b)) + ((0, 0),) * (a.ndim - 2))
+
+    k_pad, v_pad = pad_sink(cache.k), pad_sink(cache.v)
+    write_pos = cache.length
+
+    def stage_fn(blocks, x_mb, cos, sin, write_pos, k_all, v_all):
+        # per-device views: blocks leaves [1, lps, ...], cache [lps, ...]
+        s = jax.lax.axis_index(axis)
+        state = jnp.zeros((b, T, H), x_mb.dtype)
+        outs = jnp.zeros((M, b, T, H), x_mb.dtype)
+
+        for t in range(M + ns - 1):          # static schedule
+            mb = t - s                       # this tick's microbatch here
+            valid = (mb >= 0) & (mb < M)
+            off = jnp.where(valid, jnp.clip(mb, 0, M - 1) * b, M * b)
+            h = jnp.where(s == 0, x_mb[min(t, M - 1)], state)
+
+            for j in range(lps):
+                bp = jax.tree.map(lambda a: a[0, j], blocks)
+
+                def kv_apply(q, k, v, j=j):
+                    nonlocal k_all, v_all
+                    k_all = jax.lax.dynamic_update_slice(
+                        k_all, k[None].astype(k_all.dtype),
+                        (j, off, write_pos, 0, 0))
+                    v_all = jax.lax.dynamic_update_slice(
+                        v_all, v[None].astype(v_all.dtype),
+                        (j, off, write_pos, 0, 0))
+                    k_c = jax.lax.dynamic_slice(
+                        k_all, (j, off, 0, 0, 0),
+                        (1, b, S) + k_all.shape[3:])[0]
+                    v_c = jax.lax.dynamic_slice(
+                        v_all, (j, off, 0, 0, 0),
+                        (1, b, S) + v_all.shape[3:])[0]
+                    return attend(q, k_c.astype(q.dtype),
+                                  v_c.astype(q.dtype), q_slot, kv_len)
+
+                h, _ = block_core(h, bp, kv_apply, cos, sin, specs, cfg)
+
+            upd = outs.at[jnp.clip(mb, 0, M - 1)].set(h.astype(outs.dtype))
+            outs = jnp.where(valid & (s == ns - 1), upd, outs)
+            state = jax.lax.ppermute(
+                h, axis, [(i, (i + 1) % ns) for i in range(ns)])
+
+        # only the last stage holds real outputs; replicate them
+        outs = jax.lax.psum(
+            jnp.where(s == ns - 1, outs, jnp.zeros_like(outs)), axis)
+        return outs, k_all, v_all
+
+    outs, k_new, v_new = jax.shard_map(
+        stage_fn, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(axis), P(axis)),
+    )(params.stacked, x_mb, cos, sin, write_pos, k_pad, v_pad)
+
+    cache = cache._replace(k=k_new[:, :B], v=v_new[:, :B]).advance(T)
+    x = _norm(outs.reshape(B, T, H), params.lnf_scale, params.lnf_bias, cfg)
+    head = params.lm_head if params.lm_head is not None else params.embed.T
+    hdt = jnp.dtype(specs.wqkv.out_dtype)
+    logits = jnp.dot(x.astype(hdt), head.astype(hdt),
+                     preferred_element_type=jnp.float32).astype(jnp.float32)
+    return logits, cache
