@@ -116,13 +116,17 @@ def main():
             admitted += 1
         t_w = time.time()
         if spec_k > 1:
-            # device spec window by default (R draft+verify+accept rounds
-            # per dispatch); BENCH_SPEC_HOST=1 forces the host-loop
-            # step_spec (one verify forward per relay round-trip) for A/B
-            if os.environ.get("BENCH_SPEC_HOST", "0") == "1":
+            # BENCH_SPEC_MODE: adaptive (default — spec windows while the
+            # measured gain pays, plain fallback + re-probes otherwise),
+            # window (force the device spec window), host (the host-loop
+            # step_spec: one verify forward per relay round-trip, for A/B)
+            mode = os.environ.get("BENCH_SPEC_MODE", "adaptive")
+            if mode == "host" or os.environ.get("BENCH_SPEC_HOST") == "1":
                 eng.step_spec()
-            else:
+            elif mode == "window":
                 eng.step_spec_window()
+            else:
+                eng.step_serve()
         else:
             eng.step_window()
         dt = time.time() - t_w

@@ -211,6 +211,17 @@ class EngineConfig:
     # speculative.propose_ngram_device) — the host-loop spec path pays a
     # relay round-trip per verify forward
     spec_window_r: int = 8
+    # adaptive speculation: a T=spec_k verify forward costs more than a
+    # T=1 decode, so speculation LOSES when drafts rarely survive (gain =
+    # emitted / (R * active_rows) per window; 1.0 = plain decode's rate).
+    # When the rolling gain over spec_probe_len windows falls below
+    # spec_min_gain, the engine serves PLAIN windows and re-probes with
+    # spec windows every spec_probe_every plain windows (slot histories
+    # are resynced from the host records on each probe).
+    spec_adaptive: bool = True
+    spec_min_gain: float = 1.15
+    spec_probe_len: int = 2
+    spec_probe_every: int = 16
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -208,6 +208,14 @@ class ContinuousBatchingEngine:
         self._sampling_dev = None     # cached per-slot sampling arrays
         self.spec_stats = {"forwards": 0, "drafted": 0, "accepted": 0,
                            "emitted": 0}
+        # adaptive-speculation state (step_serve): current mode, rolling
+        # per-window gain, plain-windows-since-probe counter, and the
+        # per-slot prompts needed to resync device histories on re-probe
+        self._spec_mode = "spec"
+        self._spec_gains: List[float] = []
+        self._plain_since_probe = 0
+        self._slot_prompt: Dict[int, List[int]] = {}
+        self._last_spec_gain = 1.0
 
     # -- request API -------------------------------------------------------
 
@@ -369,9 +377,11 @@ class ContinuousBatchingEngine:
                     aval((self.n_slots,), jnp.int32),
                     aval((self.n_slots,), jnp.float32)).compile()
                 n += 1
-        if self.ecfg.spec_k <= 1:
-            # spec engines serve through the spec window (above) — don't
-            # spend minutes compiling a plain window they never dispatch
+        if self.ecfg.spec_k <= 1 or (self.ecfg.spec_adaptive
+                                     and self.ecfg.device_decode_loop):
+            # plain window: the serving program for non-spec engines AND
+            # the fallback program adaptive speculation switches to when
+            # the measured gain doesn't cover the T=spec_k verify cost
             window, _ = self._get_window()
             window.lower(
                 self.params, aval((self.n_slots,), jnp.int32), cache_avals,
@@ -628,6 +638,9 @@ class ContinuousBatchingEngine:
         self._hist_np = np.array(hist_d)
         self._hlen_np = np.array(hlen_d)
         self.spec_stats["forwards"] += R
+        # speculative gain this window: device-emitted tokens per
+        # (verify forward x active row); 1.0 == plain decode's rate
+        self._last_spec_gain = float(cnts.sum()) / max(R * len(active), 1)
 
         running = set(active)
         for r in range(R):
@@ -659,6 +672,55 @@ class ContinuousBatchingEngine:
                         running.discard(slot)
                         break
         return len(active)
+
+    def _resync_hist(self) -> None:
+        """Rebuild the device drafting histories from the host records
+        (prompt + all emitted tokens per slot). Plain windows don't
+        maintain the on-device history, so a re-probe after a fallback
+        stretch must resync first — stale histories only cost draft
+        quality (output stays bit-identical), but a resynced drafter is
+        the point of the probe."""
+        for slot, rid in self._slot_req.items():
+            toks = self._slot_prompt.get(slot, []) + self._outputs.get(
+                rid, [])
+            hl = min(len(toks), self.max_seq)
+            self._hist_np[slot, :hl] = toks[-hl:] if hl else 0
+            self._hist_np[slot, hl:] = 0
+            self._hlen_np[slot] = hl
+
+    def step_serve(self, sampling: SamplingParams = SamplingParams(),
+                   eos_token_id: Optional[int] = None) -> int:
+        """One adaptive serving step: speculative windows while they pay,
+        plain windows when they don't (a T=spec_k verify forward costs
+        more than a T=1 decode, so gain < spec_min_gain means speculation
+        is a net loss), with periodic spec re-probes. Greedy output is
+        bit-identical in every mode."""
+        ecfg = self.ecfg
+        if not (ecfg.spec_k > 1 and ecfg.device_decode_loop
+                and ecfg.spec_adaptive):
+            if ecfg.spec_k > 1:
+                return (self.step_spec_window(sampling, eos_token_id)
+                        if ecfg.device_decode_loop
+                        else self.step_spec(sampling,
+                                            eos_token_id=eos_token_id))
+            return self.step_window(sampling, eos_token_id=eos_token_id)
+        if self._spec_mode == "plain":
+            self._plain_since_probe += 1
+            if self._plain_since_probe >= ecfg.spec_probe_every:
+                self._spec_mode = "spec"
+                self._plain_since_probe = 0
+                self._spec_gains.clear()
+                self._resync_hist()
+            return self.step_window(sampling, eos_token_id=eos_token_id)
+        n = self.step_spec_window(sampling, eos_token_id=eos_token_id)
+        if n:
+            self._spec_gains.append(self._last_spec_gain)
+        if len(self._spec_gains) >= ecfg.spec_probe_len:
+            window = self._spec_gains[-ecfg.spec_probe_len:]
+            if sum(window) / len(window) < ecfg.spec_min_gain:
+                self._spec_mode = "plain"
+            self._spec_gains.clear()
+        return n
 
     # -- device decode window ------------------------------------------------
 
@@ -765,6 +827,7 @@ class ContinuousBatchingEngine:
         self._done[rid] = self._outputs.pop(rid)
         self._done_logprobs[rid] = self._logprobs.pop(rid, [])
         self._slot_req.pop(slot, None)
+        self._slot_prompt.pop(slot, None)
         self._slot_sampling.pop(slot, None)
         self._slot_stop.pop(slot, None)
         self._sampling_dev = None
@@ -789,12 +852,11 @@ class ContinuousBatchingEngine:
         steps = 0
         use_spec = self.ecfg.spec_k > 1
         use_window = self.ecfg.device_decode_loop and not use_spec
-        spec_window = use_spec and self.ecfg.device_decode_loop
         while self.has_work and steps < max_steps:
-            if spec_window:
-                self.step_spec_window(sampling, eos_token_id=eos_token_id)
-            elif use_spec:
-                self.step_spec(sampling, eos_token_id=eos_token_id)
+            if use_spec:
+                # adaptive routing: spec windows while they pay, plain
+                # windows with periodic re-probes otherwise (step_serve)
+                self.step_serve(sampling, eos_token_id=eos_token_id)
             elif use_window:
                 self.step_window(sampling, eos_token_id=eos_token_id)
             else:
@@ -840,6 +902,7 @@ class ContinuousBatchingEngine:
                 self._hist_np[slot, :hl] = prompt[-hl:]
                 self._hist_np[slot, hl:] = 0
                 self._hlen_np[slot] = hl
+                self._slot_prompt[slot] = list(prompt)
             self._slot_sampling[slot] = self._req_sampling.pop(rid, None)
             self._slot_stop[slot] = self._req_stop.pop(rid, frozenset())
             self._sampling_dev = None

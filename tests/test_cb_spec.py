@@ -312,6 +312,111 @@ class TestDeviceSpecWindow:
         assert len(out[s]) == 10
 
 
+class TestAdaptiveSpec:
+    """step_serve: spec windows while the measured gain pays, plain
+    windows (with periodic resynced re-probes) when it doesn't — greedy
+    output bit-identical in every mode and across mode switches."""
+
+    def _ref(self, model, prompts, budgets):
+        eng = make_engine(model, spec_k=0)
+        ids = [eng.add_request(p, b) for p, b in zip(prompts, budgets)]
+        out = eng.run_to_completion()
+        return [out[r] for r in ids]
+
+    def test_forced_fallback_still_bit_identical(self, model):
+        """An impossible gain threshold forces the plain-window fallback
+        (incl. re-probe windows); output must not change."""
+        import dataclasses
+
+        params, cfg, specs = model
+        budgets = [24, 20, 16]
+        ref = self._ref(model, PROMPTS, budgets)
+
+        ecfg = dataclasses.replace(
+            EngineConfig(max_batch_size=3, max_seq_len=96, prefill_chunk=8,
+                         spec_k=4),
+            spec_min_gain=99.0, spec_probe_len=1, spec_probe_every=3)
+        eng = ContinuousBatchingEngine(params, cfg, specs, ecfg)
+        ids = [eng.add_request(p, b) for p, b in zip(PROMPTS, budgets)]
+        out = eng.run_to_completion()
+        assert [out[r] for r in ids] == ref
+        assert eng._spec_mode == "plain" or eng._plain_since_probe >= 0
+
+    def test_mode_switches_and_resync(self, model):
+        """The engine must actually take the fallback path AND come back
+        through a probe (counters prove both transitions happened)."""
+        import dataclasses
+
+        params, cfg, specs = model
+        ecfg = dataclasses.replace(
+            EngineConfig(max_batch_size=2, max_seq_len=96, prefill_chunk=8,
+                         spec_k=4),
+            spec_min_gain=99.0, spec_probe_len=1, spec_probe_every=2)
+        eng = ContinuousBatchingEngine(params, cfg, specs, ecfg)
+        rid = eng.add_request(PROMPTS[0], 40)
+        saw_plain = saw_probe = False
+        while eng.has_work:
+            before = eng._spec_mode
+            eng.step_serve()
+            if before == "plain":
+                saw_plain = True
+            if before == "plain" and eng._spec_mode == "spec":
+                saw_probe = True
+        assert saw_plain, "never fell back to plain windows"
+        assert saw_probe or eng._spec_mode == "spec", \
+            "never re-probed speculation"
+        out = eng.finished()[rid]
+        ref = self._ref(model, [PROMPTS[0]], [40])[0]
+        assert out == ref
+
+    def test_policy_state_machine(self, model):
+        """Deterministic policy check with stubbed windows: high gain
+        stays spec; low gain falls back after spec_probe_len windows;
+        plain mode re-probes after spec_probe_every windows."""
+        import dataclasses
+
+        params, cfg, specs = model
+        ecfg = dataclasses.replace(
+            EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=8,
+                         spec_k=4),
+            spec_probe_len=2, spec_probe_every=3, spec_min_gain=1.15)
+        eng = ContinuousBatchingEngine(params, cfg, specs, ecfg)
+        calls = []
+        gain = {"v": 2.0}
+
+        def fake_spec(*a, **k):
+            calls.append("spec")
+            eng._last_spec_gain = gain["v"]
+            return 1
+
+        def fake_plain(*a, **k):
+            calls.append("plain")
+            return 1
+
+        eng.step_spec_window = fake_spec
+        eng.step_window = fake_plain
+
+        for _ in range(4):
+            eng.step_serve()
+        assert eng._spec_mode == "spec" and calls == ["spec"] * 4
+
+        gain["v"] = 1.0                      # speculation stops paying
+        for _ in range(2):
+            eng.step_serve()
+        assert eng._spec_mode == "plain"
+
+        for _ in range(3):                   # spec_probe_every plain windows
+            eng.step_serve()
+        assert eng._spec_mode == "spec"      # re-probing
+        assert calls[-3:] == ["plain"] * 3
+
+        gain["v"] = 2.0                      # probe finds gain again
+        for _ in range(2):
+            eng.step_serve()
+        assert eng._spec_mode == "spec"
+        assert calls[-2:] == ["spec"] * 2
+
+
 class TestNativeDrafter:
     def test_native_matches_python(self):
         """The C++ n-gram matcher must propose exactly what the Python
@@ -376,8 +481,9 @@ class TestSpecGuards:
     def test_warmup_includes_verify(self, model):
         eng = make_engine(model, spec_k=4, n_slots=2, max_seq=16)
         n = eng.warmup()
-        # {8, 16} buckets x k {1, 2} x 2 + decode + window + verify
-        assert n == 11
+        # {8, 16} buckets x k {1, 2} x 2 + decode + verify + spec window
+        # + plain window (the adaptive-speculation fallback program)
+        assert n == 12
         rid = eng.add_request([1, 2, 3], 4)
         out = eng.run_to_completion()
         assert len(out[rid]) == 4
