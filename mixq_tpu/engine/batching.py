@@ -55,7 +55,13 @@ class ContinuousBatchingEngine:
         self.ecfg = engine_cfg or EngineConfig()
         self.n_slots = self.ecfg.max_batch_size
         self.max_seq = self.ecfg.max_seq_len
-        self.sched = make_scheduler(self.n_slots, self.max_seq,
+        # spec engines reserve spec_k-1 trailing cache slots: a T=k verify
+        # at slot_length s writes KV rows s..s+k-1, so budgets must keep
+        # s <= max_seq - k — otherwise the final tokens of a cache-filling
+        # request would be computed at clamped (wrong) positions
+        sched_seq = self.max_seq - (self.ecfg.spec_k - 1
+                                    if self.ecfg.spec_k > 1 else 0)
+        self.sched = make_scheduler(self.n_slots, sched_seq,
                                     prefer_native_scheduler)
 
         mc, specs_ = model_cfg, specs

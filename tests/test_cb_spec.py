@@ -312,6 +312,29 @@ class TestDeviceSpecWindow:
         assert len(out[s]) == 10
 
 
+class TestSpecBoundary:
+    def test_cache_brim_request_stays_correct(self, model):
+        """A request that fills the cache to the brim: spec engines
+        reserve spec_k-1 trailing slots (a T=k verify at slot_length s
+        writes rows s..s+k-1), so the spec run emits a k-1-shorter but
+        position-exact PREFIX of the plain run — never tokens computed
+        at clamped positions."""
+        max_seq, k = 32, 4
+        prompt = PROMPTS[0]
+
+        def run(spec_k):
+            eng = make_engine(model, spec_k=spec_k, n_slots=2,
+                              max_seq=max_seq)
+            rid = eng.add_request(prompt, 1000)   # budget-clamped to room
+            return eng.run_to_completion()[rid]
+
+        ref = run(0)
+        got = run(k)
+        assert len(ref) == max_seq - len(prompt)
+        assert len(got) == max_seq - (k - 1) - len(prompt)
+        assert got == ref[:len(got)]
+
+
 class TestAdaptiveSpec:
     """step_serve: spec windows while the measured gain pays, plain
     windows (with periodic resynced re-probes) when it doesn't — greedy
