@@ -30,6 +30,25 @@ from mixq_tpu.models.decoder import forward, init_decoder_params, stack_decoder_
 from mixq_tpu.ops.mixed_linear import LinearSpec
 
 BASELINE_TOKENS_PER_S = 10609.8     # reference README.md:69-76
+PEAK_INT8_OPS = 394e12              # v5e MXU int8 peak (VERDICT r3 item 9:
+                                    # track the floor gap per round as MFU)
+
+
+def matmul_flops_per_token(cfg) -> float:
+    """Model FLOPs per decoded token: 2 x matmul params (the standard MFU
+    numerator — linear projections + lm_head; attention score/value FLOPs
+    are O(S) and excluded, matching PROFILE_r03 §3's GEMM-floor accounting)."""
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    nq, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim_)
+    attn = H * nq * hd + 2 * H * nkv * hd + nq * hd * H
+    if cfg.num_local_experts > 0:
+        mlp = H * cfg.num_local_experts                      # router
+        mlp += cfg.num_experts_per_tok * 3 * H * I           # active experts
+    else:
+        mlp = 3 * H * I                                      # gated (SwiGLU)
+    head = H * cfg.vocab_size
+    return 2.0 * (cfg.num_hidden_layers * (attn + mlp) + head)
 
 
 def llama2_7b_cfg(n_layers: int) -> ModelConfig:
@@ -112,9 +131,15 @@ def main():
         from mixq_tpu.config import QuantConfig
         from mixq_tpu.quantize import resolve_specs
         # W4A4 with the reference policy (down/o forced 8-bit);
-        # BENCH_GROUP>0 adds per-group weight scales (q_group_size)
+        # BENCH_GROUP>0 adds per-group weight scales (q_group_size);
+        # BENCH_FULLW4=1 drops the 8-bit-only policy so down/o go W4 too
+        # (the FULL weight-byte reduction — VERDICT r3 item 4; pair with
+        # BENCH_GROUP to buy the accuracy back with grouped scales)
+        kw = {}
+        if os.environ.get("BENCH_FULLW4", "0") == "1":
+            kw["eightbit_only_names"] = ()
         specs = resolve_specs(QuantConfig.w4a4(
-            q_group_size=int(os.environ.get("BENCH_GROUP", "-1"))))
+            q_group_size=int(os.environ.get("BENCH_GROUP", "-1")), **kw))
     else:
         specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
     attn_impl = os.environ.get("BENCH_ATTN", "auto")
@@ -205,11 +230,14 @@ def main():
 
     metric = ("mixtral_moe_w8a8o16_decode_throughput" if preset == "moe"
               else "llama2_7b_w8a8o16_decode_throughput")
+    mfu = matmul_flops_per_token(cfg) * tokens_per_s / PEAK_INT8_OPS
     print(json.dumps({
         "metric": metric,
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_s / BASELINE_TOKENS_PER_S, 3),
+        "mfu": round(mfu, 4),
+        "ms_per_step": round(per_step * 1e3, 2),
     }))
 
 

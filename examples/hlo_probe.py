@@ -18,8 +18,9 @@ kv_name = sys.argv[1] if len(sys.argv) > 1 else "int8"
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 S = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 attn_impl = sys.argv[4] if len(sys.argv) > 4 else "xla"
+L = int(os.environ.get("PROBE_LAYERS", "1"))
 
-cfg = llama2_7b_cfg(1)
+cfg = llama2_7b_cfg(L)
 specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
 if attn_impl != "xla":
     import dataclasses
@@ -30,7 +31,7 @@ from mixq_tpu.ops.pallas.flash_decode import use_head_major_cache
 
 _hm = use_head_major_cache(attn_impl, cfg, S, jnp.dtype(kv_name).itemsize)
 _tail = int(os.environ.get("PROBE_TAIL", "0"))
-cache = KVCache.create(1, B, S, cfg.num_key_value_heads, cfg.head_dim_,
+cache = KVCache.create(L, B, S, cfg.num_key_value_heads, cfg.head_dim_,
                        jnp.dtype(kv_name), head_major=_hm,
                        tail_r=_tail if _hm else 0)
 
@@ -65,7 +66,7 @@ if os.environ.get("PROBE_TIME", "0") == "1":
     t1, nxt, cache = run(32, nxt, cache)
     t2, nxt, cache = run(64, nxt, cache)
     print(f"PROBE_TIME per-step: {(t2 - t1) / 32 * 1e3:.3f} ms")
-tag = f"{kv_name}_B{B}_S{S}_{attn_impl}"
+tag = f"{kv_name}_B{B}_S{S}_{attn_impl}_L{L}"
 with open(f"/tmp/hlo_{tag}.txt", "w") as f:
     f.write(compiled.as_text())
 try:

@@ -91,6 +91,12 @@ def main():
         # packed mix_gemm path at per-channel speed. 64 divides every
         # preset's hidden AND intermediate dim (mid's 2752 bars 128)
         "mix4_g64": QuantConfig.w4a4(q_group_size=64),
+        # FULL W4 (VERDICT r3 item 4): drop the reference's 8-bit-only
+        # policy for down/o (module.py:2) so every linear goes 4-bit —
+        # the full weight-byte reduction; grouped scales are the accuracy
+        # insurance for the dropped policy
+        "mix4_full_g64": QuantConfig.w4a4(q_group_size=64,
+                                          eightbit_only_names=()),
         "quik": QuantConfig.quik_w4a4(),
     }
     rows, ppl_fp = [], {}

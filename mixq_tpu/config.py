@@ -182,6 +182,12 @@ class EngineConfig:
     max_seq_len: int = 2048            # static KV allocation (reference default
                                        # max_new_tokens=2048, models/base.py:263)
     prefill_chunk: int = 512           # prefill bucketing granularity
+    # cap on tokens (rows x chunk width) per batched-prefill dispatch in the
+    # CB pool: bigger admission groups prefill as BOUNDED-T continuation
+    # chunks into the same small cache, so prefill temporaries stop scaling
+    # with slots x max_seq (the slots=64 7B compile-OOM: 17.7G > 15.75G of
+    # remat temps, VERDICT r3 item 2 / PROFILE_r03 §11). 0 disables chunking.
+    prefill_token_budget: int = 8192
     kv_dtype: str = "bfloat16"
     # mesh axes: data-parallel over DCN, tensor-parallel over ICI
     mesh_shape: Tuple[int, ...] = (1, 1)

@@ -321,15 +321,18 @@ def quik_linear(
 
 import os as _os
 
-# native jnp.int4 weight storage (packed in HBM on TPU). Some PJRT backends
-# (notably the axon relay used in CI) cannot transfer S4 buffers; set
-# MIXQ_INT4_NATIVE=0 to store int4 values widened to int8 instead (same
-# math, no bandwidth win at rest) — or MIXQ_W4_PACKED=1 to store them as
-# packed uint8 (2/byte, halves layout) consumed by the Pallas mix_gemm
-# kernel's unpack prologue: uint8 transfers fine through the relay AND
-# keeps the halved HBM weight read.
+# int4 at-rest storage. DEFAULT: packed uint8 (2/byte, halves layout),
+# consumed by the Pallas mix_gemm kernel's unpack prologue on TPU and
+# bit-exactly unpacked by int_weight() elsewhere. This is the measured
+# rule (PROFILE_r03 §4/§9): packed W4 wins +12.2% over widened at B=32
+# (weight-bandwidth-bound) and is a wash at B=512 (compute-bound), and
+# grouped [G, N] scales run at per-channel speed through the same kernel
+# — the blocker that had kept this off is closed. uint8 also transfers
+# fine through the relay, which cannot move jnp.int4 buffers.
+# MIXQ_W4_PACKED=0 falls back to jnp.int4 native storage (XLA packs it
+# in HBM; MIXQ_INT4_NATIVE=0 further widens to int8 — no bandwidth win).
 _INT4_NATIVE = _os.environ.get("MIXQ_INT4_NATIVE", "1") == "1"
-_W4_PACKED = _os.environ.get("MIXQ_W4_PACKED", "0") == "1"
+_W4_PACKED = _os.environ.get("MIXQ_W4_PACKED", "1") == "1"
 # MIXQ_GEMM=pallas routes W8A8 mixed linears through ops/pallas/mix_gemm
 # instead of XLA's int8 dot_general — a full-model A/B knob for bench.py
 # (default xla: measured faster in-model, see PROFILE_r03.md)

@@ -176,6 +176,44 @@ class TestWindowedCB:
         assert got[0][-1] == eos and len(got[0]) <= 11
 
 
+class TestChunkedPrefill:
+    """prefill_token_budget bounds per-dispatch prefill tokens (the
+    slots=64 7B compile-OOM fix, VERDICT r3 item 2): big admission groups
+    run bounded-T continuation chunks into one small cache. Output must be
+    bit-identical to the unchunked path."""
+
+    def _run(self, model, budget, prompts, new=5):
+        params, cfg, specs = model
+        eng = ContinuousBatchingEngine(
+            params, cfg, specs,
+            EngineConfig(max_batch_size=4, max_seq_len=32, prefill_chunk=4,
+                         prefill_token_budget=budget))
+        ids = [eng.add_request(p, new) for p in prompts]
+        out = eng.run_to_completion()
+        return [out[i] for i in ids]
+
+    def test_chunked_matches_unchunked(self, model):
+        prompts = [[3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5], [2, 7, 1, 8, 2, 8],
+                   [9, 8, 7, 6, 5, 4, 3, 2, 1, 2, 3, 4, 5, 6], [4, 2]]
+        # budget 8 at k_pad=4, Tp=16 -> Tc=4: four continuation chunks
+        assert self._run(model, 8, prompts) == self._run(model, 0, prompts)
+
+    def test_warmup_covers_chunked_plan(self, model):
+        """warmup must pre-compile the (k, Tc) chunk programs the chunked
+        admission path executes."""
+        params, cfg, specs = model
+        eng = ContinuousBatchingEngine(
+            params, cfg, specs,
+            EngineConfig(max_batch_size=4, max_seq_len=16, prefill_chunk=4,
+                         prefill_token_budget=8))
+        n = eng.warmup()
+        assert n > 0
+        ids = [eng.add_request([1, 2, 3, 4, 5, 6, 7, 8, 9], 3)
+               for _ in range(3)]
+        out = eng.run_to_completion()
+        assert all(len(out[i]) == 3 for i in ids)
+
+
 class TestWarmup:
     def test_warmup_compiles_program_set(self, model):
         """warmup() pre-compiles decode/window/prefill-bucket programs

@@ -95,9 +95,16 @@ class TestW4A4:
         spec = LinearSpec(w_bit=4, a_bit=4)
         oset = Q.empty_outlier_set(64, budget=8)
         p = from_float(w, spec, outlier_set=oset)
-        assert p.q_weight.dtype == jnp.int4 and p.q_weight.shape == (64, 32)
+        # default at-rest storage is packed uint8 halves (measured W4 rule,
+        # PROFILE_r03 §4/§9: +12% at weight-bandwidth-bound batch)
+        assert p.q_weight.dtype == jnp.uint8 and p.q_weight.shape == (32, 32)
         y = mixed_linear(p, x, spec)
         assert rel_err(y, x @ w) < 0.2  # int4 is coarse
+        # explicit native int4 storage still supported (pack=True)
+        p_native = from_float(w, spec, outlier_set=oset, pack=True)
+        assert p_native.q_weight.dtype == jnp.int4
+        y2 = mixed_linear(p_native, x, spec)
+        assert rel_err(y2, y) < 1e-6  # same math, different storage
 
     def test_w4_outliers_help(self):
         x, w = make_data(M=8, K=64, N=32, outlier_channels=(5,))

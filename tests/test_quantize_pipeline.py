@@ -216,9 +216,37 @@ class TestShardedLoading:
 
 
 class TestInt4Checkpoint:
-    def test_w4_native_roundtrip(self, tmp_path):
-        """jnp.int4 weights survive save (packed 2-per-byte) -> load with
-        identical logits."""
+    def test_w4_packed_default_roundtrip(self, tmp_path):
+        """The DEFAULT int4 at-rest storage (packed uint8 halves — the
+        measured W4 rule, PROFILE_r03 §4/§9) survives save -> load with
+        identical logits and half-size shard bytes."""
+        cfg = ModelConfig.tiny()
+        src = FakeSource(make_hf_style_state(cfg))
+        qcfg = QuantConfig.w4a4(outlier_budget=8)
+        batches = [np.random.RandomState(0).randint(0, cfg.vocab_size, (1, 16))]
+        qparams, specs = quantize_model(src, cfg, qcfg, calib_batches=batches)
+        assert qparams.blocks[0].attn.wq.q_weight.dtype == jnp.uint8
+        save_checkpoint(str(tmp_path), qparams, cfg, qcfg)
+        loaded, cfg2, qcfg2 = load_checkpoint(str(tmp_path))
+        assert loaded.blocks[0].attn.wq.q_weight.dtype == jnp.uint8
+        specs2 = resolve_specs(qcfg2)
+        tokens = jnp.ones((1, 4), jnp.int32)
+
+        def run(p, s):
+            cache = KVCache.create(cfg.num_hidden_layers, 1, 8,
+                                   cfg.num_key_value_heads, cfg.head_dim_,
+                                   jnp.bfloat16)
+            return _jfwd(p, tokens, cache, specs=s, cfg=cfg)[0]
+        np.testing.assert_array_equal(
+            np.asarray(run(qparams, specs)), np.asarray(run(loaded, specs2)))
+
+    def test_w4_native_roundtrip(self, tmp_path, monkeypatch):
+        """jnp.int4 weights (MIXQ_W4_PACKED=0 storage mode) survive save
+        (packed 2-per-byte on disk) -> load with identical logits."""
+        import importlib
+        ml = importlib.import_module("mixq_tpu.ops.mixed_linear")
+        monkeypatch.setattr(ml, "_W4_PACKED", False)
+        monkeypatch.setattr(ml, "_INT4_NATIVE", True)
         cfg = ModelConfig.tiny()
         src = FakeSource(make_hf_style_state(cfg))
         qcfg = QuantConfig.w4a4(outlier_budget=8)
