@@ -64,7 +64,31 @@ def main():
     specs = dataclasses.replace(
         DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8)), attn_impl=attn)
     t0 = time.time()
-    params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
+    # BENCH_SUBSTRATE=markov: a planted-Markov-chain readout at full model
+    # shapes (utils/substrate.py) — generations follow deterministic token
+    # cycles, so the n-gram drafter gets the repetition real text has.
+    # Random weights never accept a draft (SERVE_SPEC_r03 drafted=0); this
+    # substrate is the honest way to measure speculation's WIN side.
+    substrate = os.environ.get("BENCH_SUBSTRATE", "random")
+    succ = None
+    if substrate == "markov":
+        from mixq_tpu.config import QuantConfig
+        from mixq_tpu.quantize import quantize_model
+        from mixq_tpu.utils.substrate import make_markov_state
+        from mixq_tpu.utils.testing import DictSource
+
+        # short cycles wrap within a prompt, giving the n-gram drafter
+        # history to match (a cycle must recur before lookup can fire)
+        state, succ = make_markov_state(
+            cfg, v_eff=min(512, cfg.vocab_size, cfg.hidden_size), seed=0,
+            mean_cycle=int(os.environ.get("BENCH_MARKOV_CYCLE", "16")),
+            share_blocks=True)
+        params, qspecs = quantize_model(
+            DictSource(state), cfg, QuantConfig.w8a8())
+        del state
+        specs = dataclasses.replace(qspecs, attn_impl=attn)
+    else:
+        params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
     params = jax.device_put(params)
     jax.block_until_ready(params)
     eng = ContinuousBatchingEngine(
@@ -88,9 +112,22 @@ def main():
     # regime speculative decoding exists for.
     vocab_cap = int(os.environ.get("BENCH_VOCAB_CAP", "0")) or cfg.vocab_size
     vocab_cap = min(vocab_cap, cfg.vocab_size)
-    pending = [([rng.randrange(1, vocab_cap) for _ in
-                 range(rng.randint(1, prompt_max))],
-                rng.randint(1, new_max)) for _ in range(n_req)]
+    if succ is not None:
+        # markov substrate: prompts are chain walks, so generation
+        # continues each prompt's cycle and the drafter's history matches
+        def walk(start, n):
+            out = [start]
+            for _ in range(n - 1):
+                out.append(int(succ[out[-1]]))
+            return out
+
+        pending = [(walk(rng.randrange(2, len(succ)),
+                         rng.randint(4, prompt_max)),
+                    rng.randint(1, new_max)) for _ in range(n_req)]
+    else:
+        pending = [([rng.randrange(1, vocab_cap) for _ in
+                     range(rng.randint(1, prompt_max))],
+                    rng.randint(1, new_max)) for _ in range(n_req)]
     submit_w = {}
     done_w = {}
     budgets = {}

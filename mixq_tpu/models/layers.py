@@ -13,6 +13,7 @@ TPU-native replacements for the reference's fused modules:
 from __future__ import annotations
 
 import dataclasses as _dc
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -667,6 +668,15 @@ def attend(
     # (CPU XLA lacks bf16xbf16->f32 dot thunks, so tests use f32 operands
     # there; on TPU bf16 operands halve any operand materialization.)
     op_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    # MIXQ_ATTN_ACC=bf16: accumulate the two attention contractions in bf16.
+    # XLA lowers T=1 decode einsums to a VPU convert+multiply+REDUCE fusion
+    # (no MXU dot — optimized-HLO evidence, PROFILE_r02/r04); f32
+    # accumulation doubles that fusion's per-element VPU work on the
+    # step-dominating KV read. bf16 partials over <=max_seq terms are an
+    # accuracy trade — A/B knob, not a default (PPL gate prices it).
+    acc_dtype = (jnp.bfloat16
+                 if _os.environ.get("MIXQ_ATTN_ACC", "f32") == "bf16"
+                 and jax.default_backend() != "cpu" else jnp.float32)
     qf = q.reshape(B, T, n_kv, groups, D)
 
     # scores: [B, n_kv, groups, T, S]. For int8 KV, the per-(token, head)
@@ -689,7 +699,7 @@ def attend(
     else:
         scores = jnp.einsum(
             "bthgd,bshd->bhgts", qf.astype(op_dtype), k.astype(op_dtype),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=acc_dtype).astype(jnp.float32) * scale
     if k_scale is not None:
         scores = scores * jnp.transpose(
             k_scale, (0, 2, 1))[:, :, None, None, :]         # [B,h,1,1,S]
@@ -743,5 +753,5 @@ def attend(
     else:
         out = jnp.einsum(
             "bhgts,bshd->bthgd", probs.astype(op_dtype),
-            v.astype(op_dtype), preferred_element_type=jnp.float32)
+            v.astype(op_dtype), preferred_element_type=acc_dtype)
     return out.reshape(B, T, n_q, D).astype(q.dtype)

@@ -77,6 +77,7 @@ def synth_corpus(
     n_phrases: int = 384,
     phrase_len: Tuple[int, int] = (3, 9),
     noise: float = 0.03,
+    sample_seed: Optional[int] = None,
 ) -> np.ndarray:
     """Deterministic synthetic language: a phrase book of `n_phrases` fixed
     token sequences (tokens Zipf-distributed over the vocab), emitted with a
@@ -87,14 +88,19 @@ def synth_corpus(
     structure both the tokenizer-level PPL gate and the n-gram speculative
     drafter feed on). Token 1 is reserved as BOS (the perplexity harness
     substitutes it at window starts, reference perplexity_utils.py:184-187).
+
+    `seed` fixes the LANGUAGE (phrase book); `sample_seed` (default: seed)
+    varies only the emission stream — held-out evaluation text must come
+    from the SAME language with a different sample_seed.
     """
-    rng = np.random.RandomState(seed)
+    rng_book = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed if sample_seed is None else sample_seed)
     # Zipf token weights over [2, vocab): 0 = pad, 1 = BOS stay reserved
     toks = np.arange(2, vocab_size)
     tok_p = 1.0 / (np.arange(len(toks)) + 2.0) ** 1.1
     tok_p /= tok_p.sum()
     phrases = [
-        rng.choice(toks, size=rng.randint(*phrase_len), p=tok_p)
+        rng_book.choice(toks, size=rng_book.randint(*phrase_len), p=tok_p)
         for _ in range(n_phrases)
     ]
     phrase_p = 1.0 / (np.arange(n_phrases) + 2.0) ** 1.05
@@ -248,7 +254,8 @@ def plant_outlier_channels(
                 state[p + name + ".weight"][:, c] /= g      # HF [out, in]
             for name in ("mlp.up_proj", "mlp.gate_proj"):
                 state[p + name + ".weight"][:, c] /= g
-        for c in (inner_channels or ()):
+        inner = () if inner_channels is None else inner_channels
+        for c in inner:
             state[p + "mlp.up_proj.weight"][c, :] *= g      # output channel
             state[p + "mlp.down_proj.weight"][:, c] /= g    # input row
     return state
@@ -265,6 +272,7 @@ def make_markov_state(
     margin: float = 30.0,
     block_scale: float = 5e-4,
     mean_cycle: int = 48,
+    share_blocks: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
     """Build an HF-style state dict for a cfg-SHAPED model whose greedy
     generations follow a planted first-order Markov chain over tokens
@@ -321,22 +329,39 @@ def make_markov_state(
     nq, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim_)
     s = np.float32(block_scale)
+    # share_blocks: every layer maps to the SAME numpy arrays — at 7B the
+    # f32 state would otherwise be ~26GB of host RAM; the serving/spec
+    # substrate only needs full-size compute and a stable readout, not
+    # layer diversity (quantization still materializes per-layer device
+    # params downstream)
+    one = {
+        "input_layernorm.weight": np.ones(H, np.float32),
+        "post_attention_layernorm.weight": np.ones(H, np.float32),
+        "self_attn.q_proj.weight": rng.randn(nq * hd, H).astype(
+            np.float32) * s,
+        "self_attn.k_proj.weight": rng.randn(nkv * hd, H).astype(
+            np.float32) * s,
+        "self_attn.v_proj.weight": rng.randn(nkv * hd, H).astype(
+            np.float32) * s,
+        "self_attn.o_proj.weight": rng.randn(H, nq * hd).astype(
+            np.float32) * s,
+        "mlp.gate_proj.weight": rng.randn(I, H).astype(np.float32) * s,
+        "mlp.up_proj.weight": rng.randn(I, H).astype(np.float32) * s,
+        "mlp.down_proj.weight": rng.randn(H, I).astype(np.float32) * s,
+    }
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
-        state[p + "input_layernorm.weight"] = np.ones(H, np.float32)
-        state[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
-        state[p + "self_attn.q_proj.weight"] = (
-            rng.randn(nq * hd, H).astype(np.float32) * s)
-        state[p + "self_attn.k_proj.weight"] = (
-            rng.randn(nkv * hd, H).astype(np.float32) * s)
-        state[p + "self_attn.v_proj.weight"] = (
-            rng.randn(nkv * hd, H).astype(np.float32) * s)
-        state[p + "self_attn.o_proj.weight"] = (
-            rng.randn(H, nq * hd).astype(np.float32) * s)
-        state[p + "mlp.gate_proj.weight"] = (
-            rng.randn(I, H).astype(np.float32) * s)
-        state[p + "mlp.up_proj.weight"] = (
-            rng.randn(I, H).astype(np.float32) * s)
-        state[p + "mlp.down_proj.weight"] = (
-            rng.randn(H, I).astype(np.float32) * s)
+        if share_blocks:
+            for name, arr in one.items():
+                state[p + name] = arr
+        else:
+            state[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+            state[p + "post_attention_layernorm.weight"] = np.ones(
+                H, np.float32)
+            for name in ("self_attn.q_proj", "self_attn.k_proj",
+                         "self_attn.v_proj", "self_attn.o_proj",
+                         "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj"):
+                shape = one[name + ".weight"].shape
+                state[p + name + ".weight"] = rng.randn(*shape).astype(
+                    np.float32) * s
     return state, succ
