@@ -203,7 +203,9 @@ def main():
     def paired(name):
         d = (np.asarray(seg_ppls[(name, "bfloat16")])
              - np.asarray(seg_ppls[("fp16", "bfloat16")]))
-        return float(d.mean()), float(d.std())
+        # the claim is about the MEAN paired delta over n segments ->
+        # the band is 2 standard errors, not 2 stds of a single segment
+        return float(d.mean()), float(d.std() / np.sqrt(len(d)))
 
     d8, s8 = paired("mix8")
     d4, s4 = paired("mix4")
@@ -212,7 +214,7 @@ def main():
     gate = {"check": "monotone_separation",
             "fp16_ppl": round(fp, 4),
             "mix8_delta": round(d8, 4), "mix4_delta": round(d4, 4),
-            "paired_band_2std": round(band, 4),
+            "paired_band_2se": round(band, 4),
             "monotone": bool(d8 <= d4 + band and -band <= d8),
             "mix4_gap_significant": bool(d4 > band)}
     rows.append(gate)

@@ -100,10 +100,11 @@ def pipeline_forward(
 
     assert params.stacked is not None, "pipeline needs stage_params()"
     ns = mesh.shape[axis]
-    if cache.quantized or cache.head_major or cache.k_tail is not None:
+    if cache.head_major or cache.k_tail is not None:
         raise NotImplementedError(
-            "pipeline_forward serves the batch-major bf16 cache; int8/"
-            "head-major/tail caches stay on the TP engine")
+            "pipeline_forward serves the batch-major cache (bf16 or int8 "
+            "KV); head-major/tail caches stay on the TP engine")
+    quantized = cache.quantized
     if cfg.sliding_window is not None or cfg.alibi:
         raise NotImplementedError(
             "sliding-window/ALiBi models stay on the TP engine")
@@ -134,7 +135,10 @@ def pipeline_forward(
     k_pad, v_pad = pad_sink(cache.k), pad_sink(cache.v)
     write_pos = cache.length
 
-    def stage_fn(blocks, x_mb, cos, sin, write_pos, k_all, v_all):
+    def stage_fn(blocks, x_mb, cos, sin, write_pos, k_all, v_all,
+                 *scale_bufs):
+        # int8 KV rides two extra [L, B+b, S, n_kv] scale carriers
+        ks_all, vs_all = scale_bufs if quantized else (None, None)
         # per-device views: blocks leaves [1, lps, ...], cache [lps, ...]
         s = jax.lax.axis_index(axis)
         state = jnp.zeros((b, T, H), x_mb.dtype)
@@ -150,7 +154,18 @@ def pipeline_forward(
                 bp = jax.tree.map(lambda a: a[0, j], blocks)
 
                 def kv_apply(q, k, v, j=j):
-                    nonlocal k_all, v_all
+                    nonlocal k_all, v_all, ks_all, vs_all
+                    if quantized:
+                        from mixq_tpu.ops import quant as Q
+
+                        k, sk = Q.quantize_kv(k)
+                        v, sv = Q.quantize_kv(v)
+                        ks_all = jax.lax.dynamic_update_slice(
+                            ks_all, sk[None].astype(ks_all.dtype),
+                            (j, off, write_pos, 0))
+                        vs_all = jax.lax.dynamic_update_slice(
+                            vs_all, sv[None].astype(vs_all.dtype),
+                            (j, off, write_pos, 0))
                     k_all = jax.lax.dynamic_update_slice(
                         k_all, k[None].astype(k_all.dtype),
                         (j, off, write_pos, 0, 0))
@@ -163,6 +178,15 @@ def pipeline_forward(
                     v_c = jax.lax.dynamic_slice(
                         v_all, (j, off, 0, 0, 0),
                         (1, b, S) + v_all.shape[3:])[0]
+                    if quantized:
+                        ks_c = jax.lax.dynamic_slice(
+                            ks_all, (j, off, 0, 0),
+                            (1, b, S, ks_all.shape[3]))[0]
+                        vs_c = jax.lax.dynamic_slice(
+                            vs_all, (j, off, 0, 0),
+                            (1, b, S, vs_all.shape[3]))[0]
+                        return attend(q, k_c, v_c, q_slot, kv_len,
+                                      k_scale=ks_c, v_scale=vs_c)
                     return attend(q, k_c.astype(q.dtype),
                                   v_c.astype(q.dtype), q_slot, kv_len)
 
@@ -176,13 +200,26 @@ def pipeline_forward(
         # only the last stage holds real outputs; replicate them
         outs = jax.lax.psum(
             jnp.where(s == ns - 1, outs, jnp.zeros_like(outs)), axis)
+        if quantized:
+            return outs, k_all, v_all, ks_all, vs_all
         return outs, k_all, v_all
 
-    outs, k_new, v_new = jax.shard_map(
+    args = [params.stacked, x_mb, cos, sin, write_pos, k_pad, v_pad]
+    in_specs = [P(axis), P(), P(), P(), P(), P(axis), P(axis)]
+    out_specs = [P(), P(axis), P(axis)]
+    if quantized:
+        args += [pad_sink(cache.k_scale), pad_sink(cache.v_scale)]
+        in_specs += [P(axis), P(axis)]
+        out_specs += [P(axis), P(axis)]
+    res = jax.shard_map(
         stage_fn, mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(), P(), P(axis), P(axis)),
-        out_specs=(P(), P(axis), P(axis)),
-    )(params.stacked, x_mb, cos, sin, write_pos, k_pad, v_pad)
+        in_specs=tuple(in_specs), out_specs=tuple(out_specs),
+    )(*args)
+    if quantized:
+        outs, k_new, v_new, ks_new, vs_new = res
+        cache = cache._replace(k_scale=ks_new[:, :B], v_scale=vs_new[:, :B])
+    else:
+        outs, k_new, v_new = res
 
     cache = cache._replace(k=k_new[:, :B], v=v_new[:, :B]).advance(T)
     x = _norm(outs.reshape(B, T, H), params.lnf_scale, params.lnf_bias, cfg)

@@ -114,3 +114,53 @@ class TestHarnessAPI:
         outs = mixqlm.generate_until(
             [FakeReq("ab", {"max_gen_toks": 4})])
         assert len(outs) == 1 and isinstance(outs[0], str)
+
+
+class TestOfflineTaskEndToEnd:
+    """A full task flowing through the adaptor's actual request/response
+    interface (VERDICT r3 item 5): vendored offline tasks
+    (eval/offline_tasks.py) on the Markov substrate, where the true
+    continuation is deterministic — a correct loglikelihood AND
+    generate_until path each score ~1.0, far above the 0.25 chance."""
+
+    @pytest.fixture(scope="class")
+    def markov_lm(self):
+        from mixq_tpu.eval.offline_tasks import IntTokenizer
+        from mixq_tpu.models.hf import params_from_source
+        from mixq_tpu.utils.substrate import make_markov_state
+        from mixq_tpu.utils.testing import DictSource
+
+        cfg = ModelConfig(model_type="llama", vocab_size=512,
+                          hidden_size=256, intermediate_size=704,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=4)
+        state, succ = make_markov_state(cfg, v_eff=128, seed=0,
+                                        mean_cycle=12)
+        specs = DecoderSpecs.fp16()
+        params = params_from_source(DictSource(state), cfg, specs)
+        lm = MixQLM(params, cfg, specs, IntTokenizer(),
+                    batch_size=8, max_length=64)
+        # "corpus": one long chain walk
+        walk = [5]
+        for _ in range(400):
+            walk.append(int(succ[walk[-1]]))
+        return lm, np.asarray(walk, np.int32)
+
+    def test_cloze_loglikelihood_path(self, markov_lm):
+        from mixq_tpu.eval.offline_tasks import (build_cloze_task,
+                                                 evaluate_cloze)
+
+        lm, corpus = markov_lm
+        items = build_cloze_task(corpus, n_items=16, ctx_len=8, cont_len=3)
+        res = evaluate_cloze(lm, items)
+        assert res["acc"] >= 0.9, res        # deterministic chain
+
+    def test_completion_generate_path(self, markov_lm):
+        from mixq_tpu.eval.offline_tasks import (build_completion_task,
+                                                 evaluate_completion)
+
+        lm, corpus = markov_lm
+        items = build_completion_task(corpus, n_items=8, ctx_len=8,
+                                      gen_len=3)
+        res = evaluate_completion(lm, items)
+        assert res["exact_match"] >= 0.9, res
