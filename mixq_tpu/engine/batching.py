@@ -13,6 +13,7 @@ as requests come and go). Per-slot positions flow through `slot_lengths`.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -191,6 +192,7 @@ class ContinuousBatchingEngine:
         self.lengths = np.zeros((self.n_slots,), np.int32)
         self.cur_tokens = np.zeros((self.n_slots,), np.int32)
         self._prompts: Dict[int, List[int]] = {}
+        self._req_budget: Dict[int, int] = {}
         self._req_sampling: Dict[int, Optional[SamplingParams]] = {}
         self._slot_sampling: Dict[int, Optional[SamplingParams]] = {}
         self._req_stop: Dict[int, frozenset] = {}
@@ -247,6 +249,7 @@ class ContinuousBatchingEngine:
             raise ValueError(f"request rejected (code {rc}): "
                              f"prompt_len={len(prompt)} max_seq={self.max_seq}")
         self._prompts[rid] = list(prompt)
+        self._req_budget[rid] = int(max_new_tokens)   # for snapshot/restore
         self._req_sampling[rid] = sampling
         self._req_stop[rid] = (frozenset(stop_token_ids)
                                if stop_token_ids else frozenset())
@@ -293,6 +296,145 @@ class ContinuousBatchingEngine:
     def has_work(self) -> bool:
         s = self.sched.stats()
         return s["queued"] > 0 or s["active"] > 0
+
+    # -- state snapshot / restore (failure recovery) ------------------------
+
+    _CACHE_FIELDS = ("k", "v", "k_scale", "v_scale", "length",
+                     "k_tail", "v_tail", "kt_scale", "vt_scale", "tail_base")
+
+    def snapshot(self, path: str) -> None:
+        """Persist the pool's COMPLETE serving state — KV cache, per-slot
+        scheduler state, in-flight outputs, queued requests, sampling
+        state, PRNG key — so a crashed/migrated server resumes exactly
+        where it stopped (SURVEY §5 failure-recovery: "re-loadable engine
+        state"; the reference has nothing — OOM is reported as a bench
+        result, benchflops.py:208-213). Call BETWEEN windows (the engine's
+        scheduling quantum); restore() continues bit-identically for
+        greedy rows and reproducibly for sampled rows (the PRNG key is
+        part of the state)."""
+        import dataclasses as _dc
+        import json as _json
+
+        os.makedirs(path, exist_ok=True)
+        arrays = {"lengths": self.lengths, "cur_tokens": self.cur_tokens}
+        if self._hist_np is not None:
+            arrays["hist"] = self._hist_np
+            arrays["hlen"] = self._hlen_np
+        for f in self._CACHE_FIELDS:
+            a = getattr(self.cache, f)
+            if a is not None:
+                arrays[f"cache_{f}"] = np.asarray(jax.device_get(a))
+        np.savez(os.path.join(path, "state.npz"), **arrays)
+
+        def sp(v):
+            return None if v is None else _dc.asdict(v)
+
+        active = []
+        for slot in self.sched.active_slots():
+            rid, plen, gen, mnt = map(int, self.sched.slot_info(slot))
+            active.append({
+                "slot": int(slot), "rid": rid, "prompt_len": plen,
+                "generated": gen, "max_new": mnt,
+                "outputs": [int(t) for t in self._outputs.get(rid, [])],
+                "logprobs": [float(x) for x in self._logprobs.get(rid, [])],
+                "sampling": sp(self._slot_sampling.get(slot)),
+                "stop": sorted(self._slot_stop.get(slot, ())),
+                "prompt": self._slot_prompt.get(slot),
+            })
+        queued = [{
+            "rid": int(rid), "prompt": self._prompts[rid],
+            "budget": self._req_budget.get(rid, self.max_seq),
+            "sampling": sp(self._req_sampling.get(rid)),
+            "stop": sorted(self._req_stop.get(rid, ())),
+        } for rid in self._prompts]
+        meta = {
+            "active": active, "queued": queued,
+            "next_id": self._next_id,
+            "done": {str(k): v for k, v in self._done.items()},
+            "done_logprobs": {str(k): v
+                              for k, v in self._done_logprobs.items()},
+            "key": np.asarray(jax.device_get(self._key)).tolist(),
+            "steps_since_flush": self._steps_since_flush,
+            "spec_stats": self.spec_stats,
+            "spec_mode": self._spec_mode,
+            "n_slots": self.n_slots, "max_seq": self.max_seq,
+            "kv_dtype": str(self.ecfg.kv_dtype),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            _json.dump(meta, f)
+
+    @classmethod
+    def restore(cls, path: str, params, model_cfg, specs,
+                engine_cfg=None, prefer_native_scheduler: bool = True,
+                mesh=None) -> "ContinuousBatchingEngine":
+        """Rebuild a pool from snapshot(); the engine/cache config must
+        match the snapshotting engine's (asserted by shape/dtype)."""
+        import json as _json
+
+        from mixq_tpu.engine.sampling import SamplingParams
+
+        eng = cls(params, model_cfg, specs, engine_cfg,
+                  prefer_native_scheduler=prefer_native_scheduler,
+                  mesh=mesh)
+        data = np.load(os.path.join(path, "state.npz"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = _json.load(f)
+        assert meta["n_slots"] == eng.n_slots and \
+            meta["max_seq"] == eng.max_seq, "engine config mismatch"
+
+        new_fields = {}
+        for f in cls._CACHE_FIELDS:
+            t = getattr(eng.cache, f)
+            if t is None:
+                continue
+            a = data[f"cache_{f}"]
+            assert a.shape == t.shape and a.dtype.itemsize == t.dtype.itemsize, \
+                f"cache field {f}: snapshot {a.shape}/{a.dtype} vs engine " \
+                f"{t.shape}/{t.dtype}"
+            if a.dtype != t.dtype:      # npz stores bf16 as void ("|V2")
+                a = a.view(t.dtype)
+            new_fields[f] = jax.device_put(jnp.asarray(a), t.sharding)
+        eng.cache = eng.cache._replace(**new_fields)
+        eng.lengths = data["lengths"].copy()
+        eng.cur_tokens = data["cur_tokens"].copy()
+        if eng._hist_np is not None and "hist" in data:
+            eng._hist_np = data["hist"].copy()
+            eng._hlen_np = data["hlen"].copy()
+
+        def unsp(d):
+            return None if d is None else SamplingParams(**d)
+
+        for s in meta["active"]:
+            slot, rid = s["slot"], s["rid"]
+            rc = eng.sched.restore_slot(slot, rid, s["prompt_len"],
+                                        s["max_new"], s["generated"])
+            assert rc == 0, f"restore_slot({slot}) -> {rc}"
+            eng._slot_req[slot] = rid
+            eng._outputs[rid] = list(s["outputs"])
+            eng._logprobs[rid] = list(s["logprobs"])
+            eng._slot_sampling[slot] = unsp(s["sampling"])
+            eng._slot_stop[slot] = frozenset(s["stop"])
+            if s["prompt"] is not None:
+                eng._slot_prompt[slot] = list(s["prompt"])
+            if eng._drafter is not None and eng._hlen_np is not None:
+                hl = int(eng._hlen_np[slot])
+                eng._drafter.reset(slot, eng._hist_np[slot, :hl].tolist())
+        for q in meta["queued"]:
+            eng._next_id = q["rid"]       # preserve original request ids
+            got = eng.add_request(q["prompt"], q["budget"],
+                                  sampling=unsp(q["sampling"]),
+                                  stop_token_ids=q["stop"] or None)
+            assert got == q["rid"]
+        eng._next_id = meta["next_id"]
+        eng._done = {int(k): v for k, v in meta["done"].items()}
+        eng._done_logprobs = {int(k): v
+                              for k, v in meta["done_logprobs"].items()}
+        eng._key = jnp.asarray(np.asarray(meta["key"], np.uint32))
+        eng._steps_since_flush = meta["steps_since_flush"]
+        eng.spec_stats = meta["spec_stats"]
+        eng._spec_mode = meta["spec_mode"]
+        eng._sampling_dev = None
+        return eng
 
     def warmup(self, prompt_buckets: Optional[Sequence[int]] = None,
                group_sizes: Optional[Sequence[int]] = None) -> int:
@@ -891,6 +1033,7 @@ class ContinuousBatchingEngine:
         group = []
         for rid, slot in admits:
             prompt = self._prompts.pop(rid)
+            self._req_budget.pop(rid, None)   # admitted: scheduler owns it
             n = len(prompt)
             if n > 1:
                 group.append((slot, prompt))

@@ -49,6 +49,13 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.sched_on_token.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.sched_finish.restype = ctypes.c_int32
     lib.sched_finish.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    try:
+        lib.sched_restore_slot.restype = ctypes.c_int32
+        lib.sched_restore_slot.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    except AttributeError:      # stale prebuilt .so without the symbol
+        return None
     lib.sched_active_slots.restype = ctypes.c_int32
     lib.sched_active_slots.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
@@ -120,6 +127,13 @@ class NativeScheduler:
 
     def finish(self, slot: int) -> int:
         return _LIB.sched_finish(self._h, slot)
+
+    def restore_slot(self, slot: int, req_id: int, prompt_len: int,
+                     max_new_tokens: int, generated: int) -> int:
+        """Re-occupy `slot` with an in-flight request (engine snapshot
+        restore — slot ids are KV-cache row ids and must be preserved)."""
+        return _LIB.sched_restore_slot(self._h, slot, req_id, prompt_len,
+                                       max_new_tokens, generated)
 
     def active_slots(self) -> List[int]:
         out = (ctypes.c_int32 * self.n_slots)()
@@ -196,6 +210,17 @@ class PythonScheduler:
             return -1
         self._slots[slot] = None
         self._finished += 1
+        return 0
+
+    def restore_slot(self, slot, req_id, prompt_len, max_new_tokens,
+                     generated) -> int:
+        if not (0 <= slot < self.n_slots) or self._slots[slot] is not None:
+            return -1
+        if (prompt_len <= 0 or max_new_tokens <= 0 or generated < 0
+                or generated >= max_new_tokens):
+            return -2
+        self._slots[slot] = _Req(req_id, prompt_len, max_new_tokens,
+                                 generated)
         return 0
 
     def active_slots(self):

@@ -28,6 +28,7 @@ One decoder covers the reference's model families via ModelConfig switches:
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -258,7 +259,16 @@ def block_core(
     q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rotary_dim)
     k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rotary_dim)
 
-    attn_raw = kv_apply(q, k, v).reshape(B, T, n_q * hd)
+    if _os.environ.get("MIXQ_ABLATE_ATTN", "0") == "1" and n_q == n_kv:
+        # DIAGNOSTIC ONLY (per-op accounting, PROFILE_r04): replace the
+        # whole attention stage (cache write + attend) with a cheap
+        # combine, leaving every GEMM live. The full-model A/B difference
+        # against the real step is attention's true in-model cost — the
+        # only per-op instrument that works through the relay (isolated
+        # chains read 0.0ms; CLAUDE.md).
+        attn_raw = (q + 0.0009765625 * (k + v)).reshape(B, T, n_q * hd)
+    else:
+        attn_raw = kv_apply(q, k, v).reshape(B, T, n_q * hd)
     # o_proj quantizes its own input inline (the reference's unfused=True
     # call, attn.py:263 -> linear.py:187-195)
     attn_out = mixed_linear(bp.attn.wo, attn_raw, specs.wo)

@@ -123,6 +123,27 @@ int32_t sched_finish(void* h, int32_t slot) {
   return 0;
 }
 
+int32_t sched_restore_slot(void* h, int32_t slot, int64_t req_id,
+                           int32_t prompt_len, int32_t max_new_tokens,
+                           int32_t generated) {
+  // Engine-state recovery (snapshot/restore): re-occupy `slot` with an
+  // in-flight request exactly as it was — slot ids must be preserved
+  // because KV-cache rows are slot-indexed. Fails if the slot is live.
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lock(s->mu);
+  if (slot < 0 || slot >= s->n_slots || s->active[slot]) return -1;
+  if (prompt_len <= 0 || max_new_tokens <= 0 || generated < 0 ||
+      generated >= max_new_tokens) return -2;
+  Request r;
+  r.id = req_id;
+  r.prompt_len = prompt_len;
+  r.max_new_tokens = max_new_tokens;
+  r.generated = generated;
+  s->slots[slot] = r;
+  s->active[slot] = 1;
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Prompt-lookup n-gram drafter (speculative decoding host hot path).
 //
