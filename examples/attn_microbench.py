@@ -103,11 +103,14 @@ def main():
             elif ":" in impl:
                 mode = impl.split(":", 1)[1]
 
+            b_blk = os.environ.get("MB_BBLK")
+            b_blk = int(b_blk) if b_blk else None
+
             @jax.jit
             def f(q, k, v, ks, vs):
                 out = flash_decode_attention(
                     q, k, v, lengths, ks, vs, kv_start=start, mode=mode,
-                    h_blk=h_blk, alibi_slopes=al)
+                    h_blk=h_blk, b_blk=b_blk, alibi_slopes=al)
                 return out.astype(jnp.bfloat16)
             return functools.partial(
                 f, k=k_hm, v=v_hm,

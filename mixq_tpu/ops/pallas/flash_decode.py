@@ -59,6 +59,13 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 _VMEM_BUDGET = 8 * 1024 * 1024      # double-buffered K+V blocks
+_VMEM_BUDGET_BLK = 12 * 1024 * 1024  # budget when batch-row blocking is on:
+                                     # the compiler's SCOPED vmem limit is
+                                     # 16MB (measured: an 18MB K+V scratch
+                                     # fails AOT with "Scoped allocation
+                                     # ... exceeded scoped vmem limit"),
+                                     # and q/out/scale blocks + temps need
+                                     # the rest
 
 # Write-combining window (KVCache.create(tail_r=...)): single-token
 # head-major cache writes are tile-scattered (h*B 128-byte segments,
@@ -80,6 +87,34 @@ def _pick_h_blk(n_kv: int, S: int, D: int, itemsize: int) -> int:
     while n_kv % h != 0:
         h -= 1
     return max(h, 1)
+
+
+def _pick_b_blk(B: int, n_kv: int, h_blk: int, S: int, D: int,
+                itemsize: int, groups: int, has_tail: bool) -> int:
+    """Batch-row block: rows per program. At small S the v4 per-row grid is
+    PROGRAM-OVERHEAD-bound, not DMA-bound (S=32 B=512 7B in-model: 0.87
+    ms/layer vs a 0.17ms DMA floor — 512 programs/layer each moving only
+    260KB; at S=128 the same grid hits 827GB/s because each program moves
+    1MB+). Blocking b_blk rows per program cuts the program count 8-32x and
+    turns the per-(head,row) 4KB DMA segments into contiguous b_blk*4KB
+    spans. The batched dots take (head, row) as one fused batch dim — no
+    new VPU glue on the main path (the measured v4 rule).
+
+    Only when the full head range fits one program (h_blk == n_kv) and
+    g == 1: with GQA the q block would need an in-kernel [h,g,b]->[h,b,g]
+    relayout, and GQA serving shapes are S>=128 where v4 already hits the
+    roofline. Multiples of 8 only (the block's sublane dim). Tail caps the
+    block at 16: the token-major tail attend is per-row unrolled code."""
+    if groups != 1 or h_blk != n_kv or S >= 128:
+        return 1
+    b = 1
+    for cand in (8, 16, 32):
+        if (B % cand == 0
+                and 2 * 2 * h_blk * cand * S * D * itemsize
+                <= _VMEM_BUDGET_BLK
+                and not (has_tail and cand > 16)):
+            b = cand
+    return b
 
 
 def _kernel(
@@ -138,6 +173,10 @@ def _kernel(
                           # cancels in softmax, so the kernel adds
                           # slope*abs_pos on main AND tail scores (same
                           # coordinate system)
+    b_blk: int = 1,       # batch rows per program (grid dim 1 counts row
+                          # BLOCKS; small-S overhead amortization —
+                          # _pick_b_blk docstring). The batched dots fuse
+                          # (head, row) into one batch dim; g == 1 only.
 ):
     # NOTE measured dead end: aliasing the cache operands through the call
     # (input_output_aliases + pass-through outputs) to spare XLA's buffer
@@ -151,20 +190,27 @@ def _kernel(
 
     def make_copies(j, b, slot):
         h0 = j * h_blk
+        if b_blk > 1:
+            # row-blocked: slice a contiguous b-range (B is a leading,
+            # untiled dim of the [L, n_kv, B, S, D] cache, so any b_blk
+            # slices fine; per-head DMA segments grow to b_blk*S*D bytes)
+            bsel = pl.ds(b * b_blk, b_blk)
+        else:
+            bsel = b
         copies = [
             pltpu.make_async_copy(
-                k_hbm_ref.at[l, pl.ds(h0, h_blk), b], k_buf.at[slot],
+                k_hbm_ref.at[l, pl.ds(h0, h_blk), bsel], k_buf.at[slot],
                 k_sems.at[slot]),
             pltpu.make_async_copy(
-                v_hbm_ref.at[l, pl.ds(h0, h_blk), b], v_buf.at[slot],
+                v_hbm_ref.at[l, pl.ds(h0, h_blk), bsel], v_buf.at[slot],
                 v_sems.at[slot]),
         ]
         if quantized:
             copies.append(pltpu.make_async_copy(
-                ks_hbm_ref.at[l, pl.ds(h0, h_blk), b], ks_buf.at[slot],
+                ks_hbm_ref.at[l, pl.ds(h0, h_blk), bsel], ks_buf.at[slot],
                 k_sems.at[slot]))
             copies.append(pltpu.make_async_copy(
-                vs_hbm_ref.at[l, pl.ds(h0, h_blk), b], vs_buf.at[slot],
+                vs_hbm_ref.at[l, pl.ds(h0, h_blk), bsel], vs_buf.at[slot],
                 v_sems.at[slot]))
         return copies
 
@@ -196,26 +242,52 @@ def _kernel(
         # tuning diagnostic: DMA + program structure only (touch every
         # buffer so nothing is DCE'd, near-zero compute) — establishes the
         # bandwidth/overhead floor this grid can reach
-        k0 = k_buf[slot, :, 0, :].astype(jnp.float32)        # [h_blk, D]
-        v0 = v_buf[slot, :, 0, :].astype(jnp.float32)
-        o = jnp.broadcast_to((k0 + v0)[:, None, :],
-                             (h_blk, groups, k0.shape[-1]))
+        nb0 = h_blk * b_blk
+        k0 = k_buf[slot].reshape(nb0, -1)[:, :1].astype(jnp.float32)
+        v0 = v_buf[slot].reshape(nb0, -1)[:, :1].astype(jnp.float32)
+        o = k0 + v0
         if quantized:
-            o = o + ks_buf[slot][:, :, :1] + vs_buf[slot][:, :, :1]
-        o_ref[...] = o.reshape(o_ref.shape).astype(o_ref.dtype)
+            o = o + ks_buf[slot].reshape(nb0, -1)[:, :1] \
+                  + vs_buf[slot].reshape(nb0, -1)[:, :1]
+        o_ref[...] = jnp.broadcast_to(
+            o[:, :, None], (nb0, groups, q_ref.shape[-1])
+        ).reshape(o_ref.shape).astype(o_ref.dtype)
         return
 
-    length = lengths_ref[b]
-    start = starts_ref[b]
-    tail_len = tail_lens_ref[b]
     S = k_hbm_ref.shape[3]
     D = q_ref.shape[-1]
     scale = 1.0 / (D ** 0.5)
-
     pos = lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    mask = (pos < length) & (pos >= start)                   # [1, S]
-    bias = jnp.where(mask, 0.0, MASK_VALUE)
-    live = ((length + tail_len) > 0).astype(jnp.float32)
+
+    if b_blk > 1:
+        # per-row masks from unrolled SMEM scalar reads (b_blk tiny [1, S]
+        # rows — negligible next to the [S, D] blocks)
+        b0 = b * b_blk
+        bias_rows, live_rows, lens, tlens = [], [], [], []
+        for i in range(b_blk):
+            ln = lengths_ref[b0 + i]
+            st = starts_ref[b0 + i]
+            tl = tail_lens_ref[b0 + i]
+            lens.append(ln)
+            tlens.append(tl)
+            bias_rows.append(
+                jnp.where((pos < ln) & (pos >= st), 0.0, MASK_VALUE))
+            live_rows.append(((ln + tl) > 0).astype(jnp.float32))
+        bias_b = jnp.concatenate(bias_rows, axis=0)          # [b_blk, S]
+        # broadcast over heads -> the fused (head, row) batch dim order
+        bias = jnp.broadcast_to(
+            bias_b[None, :, None, :], (h_blk, b_blk, 1, S)
+        ).reshape(h_blk * b_blk, 1, S)
+        live = jnp.broadcast_to(
+            jnp.concatenate([r.reshape(1, 1) for r in live_rows], 0)[None],
+            (h_blk, b_blk, 1)).reshape(h_blk * b_blk, 1, 1)
+    else:
+        length = lengths_ref[b]
+        start = starts_ref[b]
+        tail_len = tail_lens_ref[b]
+        mask = (pos < length) & (pos >= start)               # [1, S]
+        bias = jnp.where(mask, 0.0, MASK_VALUE)[None]        # [1, 1, S]
+        live = ((length + tail_len) > 0).astype(jnp.float32)
 
     # Batched-dot formulation: ONE dot_general per contraction with the
     # head axis as a batch dim — Mosaic schedules the per-head MXU passes
@@ -224,32 +296,42 @@ def _kernel(
     # ~2x XLA's reduce lowering (0.625ms) and ~9x the earlier formulations
     # (per-head unrolled mini-dots 2.9ms; block-diagonal trick 2.9ms —
     # the diag-extract/repeat/mask VPU stages each added 0.5-1.5ms).
-    q = q_ref[...].astype(jnp.float32)                       # [h_blk*g, D]
-    k3 = k_buf[slot]                                         # [h, S, D]
-    v3 = v_buf[slot]
+    # With b_blk > 1 the batch dim is the fused (head, row) axis: the
+    # [h_blk, b_blk, S, D] buffer reshapes to it contiguously, so the
+    # dots stay glue-free at any row block.
+    nb = h_blk * b_blk               # fused batch dim of the dots
+    q = q_ref[...].astype(jnp.float32).reshape(nb * groups, D)
+    k3 = k_buf[slot].reshape(nb, S, D)
+    v3 = v_buf[slot].reshape(nb, S, D)
     if quantized:
         q_absmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-        q_scale = jnp.maximum(q_absmax / 127.0, 1e-8)        # [hg, 1]
+        q_scale = jnp.maximum(q_absmax / 127.0, 1e-8)        # [nb*g, 1]
         q_i8 = jnp.clip(jnp.round(q / q_scale), -127, 127).astype(jnp.int8)
-        q_all = q_i8.reshape(h_blk, groups, D)
-        qs_all = q_scale.reshape(h_blk, groups, 1)
+        q_all = q_i8.reshape(nb, groups, D)
+        qs_all = q_scale.reshape(nb, groups, 1)
         S_pad = ks_buf.shape[-1]         # scales lane dim padded to %128
-        ks = ks_buf[slot].reshape(h_blk, S_pad)[:, :S]
-        vs = vs_buf[slot].reshape(h_blk, S_pad)[:, :S]
+        ks = ks_buf[slot].reshape(nb, S_pad)[:, :S]
+        vs = vs_buf[slot].reshape(nb, S_pad)[:, :S]
         # int8 cache bits straight into the MXU (i8 x i8 -> i32)
         qk = lax.dot_general(
             q_all, k3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)                # [h, g, S]
+            preferred_element_type=jnp.int32)                # [nb, g, S]
         qk = qk.astype(jnp.float32) * qs_all * ks[:, None, :] * scale
     else:
-        q_all = q.astype(jnp.bfloat16).reshape(h_blk, groups, D)
+        q_all = q.astype(jnp.bfloat16).reshape(nb, groups, D)
         qk = lax.dot_general(
             q_all, k3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale      # [h, g, S]
-    qk = qk + bias[None]
+            preferred_element_type=jnp.float32) * scale      # [nb, g, S]
+    qk = qk + bias                     # [1,1,S] or [nb,1,S] — broadcasts
 
     if has_alibi:
-        alibi_sl = al_ref[...][:, :, :1]                     # [h_blk, g, 1]
+        al2 = al_ref[...][:, :, :1]                          # [h_blk, g, 1]
+        if b_blk > 1:
+            alibi_sl = jnp.broadcast_to(
+                al2[:, None], (h_blk, b_blk, groups, 1)
+            ).reshape(nb, groups, 1)
+        else:
+            alibi_sl = al2
         qk = qk + alibi_sl * pos[None].astype(jnp.float32)
     else:
         alibi_sl = None
@@ -258,41 +340,62 @@ def _kernel(
         # Tail scores: the last <=R unflushed tokens live in the
         # token-major tail. The tail is tiny, so it is widened +
         # scale-folded on the VPU (negligible vs the [S, D] cache) and
-        # joined into the SAME online softmax as the main scores.
-        R = kt_ref.shape[0]
-        ktw = kt_ref[...]                                    # [R, n_kv, D]
-        vtw = vt_ref[...]
-        kts = kts_ref[...] if quantized else None            # [R, n_kv]
-        vts = vts_ref[...] if quantized else None
-        if kt_ref.shape[1] != h_blk:     # head grid split: slice our range
-            hslice = lambda x, ax: lax.dynamic_slice_in_dim(
-                x, pl.program_id(0) * h_blk, h_blk, axis=ax)
-            ktw, vtw = hslice(ktw, 1), hslice(vtw, 1)
+        # joined into the SAME online softmax as the main scores. With
+        # b_blk > 1 the widen/swap runs per row (unrolled — the tail
+        # block is [R, b_blk, n_kv, D] and the R axis must reach the
+        # dot's minor dims per row), then rows stack back into the fused
+        # batch dim so the pv_t contraction stays ONE batched dot.
+        def tail_row(ktw, vtw, kts, vts, q_row, tail_len, length, al_row):
+            # ktw/vtw [R, h, D]; q_row [h, g, D]; returns per-row scores
+            R = ktw.shape[0]
+            ktw = jnp.swapaxes(ktw, 0, 1).astype(jnp.float32)   # [h, R, D]
+            vtw = jnp.swapaxes(vtw, 0, 1).astype(jnp.float32)
             if quantized:
-                kts, vts = hslice(kts, 1), hslice(vts, 1)
-        # head-major [h, R, D] for the batched dots: Mosaic's tpu.matmul
-        # requires BOTH batch dims at operand position 0 ("batch dims must
-        # be equal") — a [R,h,*]-batched-on-dim-1 form fails to lower. The
-        # swap is a ~32KB relayout, negligible next to the [S, D] blocks.
-        ktw = jnp.swapaxes(ktw, 0, 1).astype(jnp.float32)    # [h, R, D]
-        vtw = jnp.swapaxes(vtw, 0, 1).astype(jnp.float32)
-        if quantized:
-            ktw = ktw * jnp.swapaxes(kts, 0, 1)[..., None]   # [h, R, 1]
-            vtw = vtw * jnp.swapaxes(vts, 0, 1)[..., None]
-        q_t = q.astype(jnp.bfloat16).reshape(h_blk, groups, D)
-        qk_t = lax.dot_general(                              # [h, g, R]
-            q_t, ktw.astype(jnp.bfloat16),
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        tpos = lax.broadcasted_iota(jnp.int32, (1, R), 1)
-        qk_t = qk_t + jnp.where(tpos < tail_len, 0.0, MASK_VALUE)[None]
-        if alibi_sl is not None:      # tail tokens sit at positions
-            qk_t = qk_t + (alibi_sl   # length..length+tail_len-1
-                           * (length + tpos)[None].astype(jnp.float32))
+                ktw = ktw * jnp.swapaxes(kts, 0, 1)[..., None]  # [h, R, 1]
+                vtw = vtw * jnp.swapaxes(vts, 0, 1)[..., None]
+            qk_t = lax.dot_general(                             # [h, g, R]
+                q_row.astype(jnp.bfloat16), ktw.astype(jnp.bfloat16),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            tpos = lax.broadcasted_iota(jnp.int32, (1, R), 1)
+            qk_t = qk_t + jnp.where(tpos < tail_len, 0.0, MASK_VALUE)[None]
+            if al_row is not None:    # tail tokens sit at positions
+                qk_t = qk_t + (al_row  # length..length+tail_len-1
+                               * (length + tpos)[None].astype(jnp.float32))
+            return qk_t, vtw
+
+        if b_blk > 1:
+            q4 = q.reshape(h_blk, b_blk, groups, D)
+            qk_t_rows, vtw_rows = [], []
+            for i in range(b_blk):
+                qk_t_i, vtw_i = tail_row(
+                    kt_ref[:, i], vt_ref[:, i],
+                    kts_ref[i] if quantized else None,
+                    vts_ref[i] if quantized else None,
+                    q4[:, i], tlens[i], lens[i], al2 if has_alibi else None)
+                qk_t_rows.append(qk_t_i[:, None])            # [h,1,g,R]
+                vtw_rows.append(vtw_i[:, None])              # [h,1,R,D]
+            R = kt_ref.shape[0]
+            qk_t = jnp.concatenate(qk_t_rows, 1).reshape(nb, groups, R)
+            vtw = jnp.concatenate(vtw_rows, 1).reshape(nb, R, D)
+        else:
+            ktw = kt_ref[...]                                # [R, n_kv, D]
+            vtw0 = vt_ref[...]
+            kts = kts_ref[...] if quantized else None        # [R, n_kv]
+            vts = vts_ref[...] if quantized else None
+            if kt_ref.shape[1] != h_blk:  # head grid split: our range
+                hslice = lambda x, ax: lax.dynamic_slice_in_dim(
+                    x, pl.program_id(0) * h_blk, h_blk, axis=ax)
+                ktw, vtw0 = hslice(ktw, 1), hslice(vtw0, 1)
+                if quantized:
+                    kts, vts = hslice(kts, 1), hslice(vts, 1)
+            qk_t, vtw = tail_row(ktw, vtw0, kts, vts,
+                                 q.reshape(h_blk, groups, D),
+                                 tail_len, length, alibi_sl)
         m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True),
                         jnp.max(qk_t, axis=-1, keepdims=True))
         p_t = jnp.exp(qk_t - m)
-        pv_t = lax.dot_general(                              # [h, g, D]
+        pv_t = lax.dot_general(                              # [nb, g, D]
             p_t.astype(jnp.bfloat16), vtw.astype(jnp.bfloat16),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -308,10 +411,10 @@ def _kernel(
         p2 = p * vs[:, None, :]                              # fold v scales
         p_scale = jnp.maximum(
             jnp.max(p2, axis=-1, keepdims=True) / 127.0, 1e-20)
-        p_i8 = jnp.round(p2 / p_scale).astype(jnp.int8)      # [h, g, S]
+        p_i8 = jnp.round(p2 / p_scale).astype(jnp.int8)      # [nb, g, S]
         pv = lax.dot_general(
             p_i8, v3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)                # [h, g, D]
+            preferred_element_type=jnp.int32)                # [nb, g, D]
         o = (pv.astype(jnp.float32) * p_scale + pv_t) / l
     else:
         pv = lax.dot_general(
@@ -324,7 +427,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "mode", "h_blk"),
+    static_argnames=("interpret", "mode", "h_blk", "b_blk"),
 )
 def flash_decode_attention(
     q: jax.Array,                   # [B, n_q, D]
@@ -351,6 +454,7 @@ def flash_decode_attention(
     layer=None,                     # i32 layer index for 5D caches
     alibi_slopes: Optional[jax.Array] = None,  # [n_q] f32 per-head ALiBi
                                     # slopes (config-derived)
+    b_blk: Optional[int] = None,    # tuning override of the batch-row block
 ):
     """Returns attention output [B, n_q, D] in q.dtype."""
     B, n_q, D = q.shape
@@ -373,6 +477,12 @@ def flash_decode_attention(
     if h_blk is None:
         h_blk = _pick_h_blk(n_kv, S, D, k.dtype.itemsize)
     n_j = n_kv // h_blk
+    if b_blk is None:
+        b_blk = _pick_b_blk(B, n_kv, h_blk, S, D, k.dtype.itemsize, g,
+                            has_tail)
+    assert B % b_blk == 0, (B, b_blk)
+    if b_blk > 1:
+        assert g == 1 and h_blk == n_kv, (g, h_blk, n_kv)
 
     layer_arr = jnp.asarray(layer, jnp.int32).reshape((1,))
     lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (B,))
@@ -410,7 +520,18 @@ def flash_decode_attention(
     hg = h_blk * g
     # <1x128>-layout hint for thin blocks (stock paged-attention trick):
     # a unit axis stops Mosaic assuming an 8-sublane tile for small hg
-    if hg % 8 != 0:
+    if b_blk > 1:
+        # row-blocked: q/out go HEAD-major [n_kv, g, B, D] so each
+        # program's block reshapes contiguously into the fused (head, row)
+        # batch dim — the transpose happens OUTSIDE the kernel where it is
+        # one cheap XLA relayout per step, not per-program VPU glue.
+        # f32 launch dtype keeps the (b_blk, D) block on the 8x128 tile.
+        q_kernel = q.reshape(B, n_kv, g, D).transpose(1, 2, 0, 3)
+        q_spec = pl.BlockSpec((h_blk, g, b_blk, D),
+                              lambda j, b, *_: (j, 0, b, 0))
+        q_launch_dtype = jnp.float32
+        out_shape = jax.ShapeDtypeStruct((n_kv, g, B, D), jnp.float32)
+    elif hg % 8 != 0:
         q_kernel = q.reshape(B, n_q, 1, D)
         q_spec = pl.BlockSpec((None, hg, None, D),
                               lambda j, b, *_: (b, j, 0, 0))
@@ -434,8 +555,9 @@ def flash_decode_attention(
     else:
         al3 = al_spec = None
     kernel = functools.partial(
-        _kernel, batch_size=B, h_blk=h_blk, groups=g, quantized=quantized,
-        has_tail=has_tail, mode=mode, has_alibi=has_alibi)
+        _kernel, batch_size=B // b_blk, h_blk=h_blk, groups=g,
+        quantized=quantized, has_tail=has_tail, mode=mode,
+        has_alibi=has_alibi, b_blk=b_blk)
 
     if has_tail:
         R = k_tail.shape[1]
@@ -444,12 +566,20 @@ def flash_decode_attention(
         # values are [L, R, B, n_kv, D], scales [L, B, R, n_kv]; the
         # layer index comes from the prefetched scalar (index maps
         # receive the scalar refs after the grid ids)
-        kt_spec = pl.BlockSpec(
-            (None, R, None, n_kv, D),
-            lambda j, b, layer, *_: (layer[0], 0, b, 0, 0))
-        kts_spec = pl.BlockSpec(
-            (None, None, R, n_kv),
-            lambda j, b, layer, *_: (layer[0], b, 0, 0))
+        if b_blk > 1:
+            kt_spec = pl.BlockSpec(
+                (None, R, b_blk, n_kv, D),
+                lambda j, b, layer, *_: (layer[0], 0, b, 0, 0))
+            kts_spec = pl.BlockSpec(
+                (None, b_blk, R, n_kv),
+                lambda j, b, layer, *_: (layer[0], b, 0, 0))
+        else:
+            kt_spec = pl.BlockSpec(
+                (None, R, None, n_kv, D),
+                lambda j, b, layer, *_: (layer[0], 0, b, 0, 0))
+            kts_spec = pl.BlockSpec(
+                (None, None, R, n_kv),
+                lambda j, b, layer, *_: (layer[0], b, 0, 0))
     else:
         kt_spec = kts_spec = None
 
@@ -465,11 +595,17 @@ def flash_decode_attention(
         kts_spec if quantized else None,
         al_spec,
     ]
+    if b_blk > 1:
+        kv_buf_shape = (2, h_blk, b_blk, S, D)
+        sc_buf_shape = (2, h_blk, b_blk, 1, S_pad)
+    else:
+        kv_buf_shape = (2, h_blk, S, D)
+        sc_buf_shape = (2, h_blk, 1, S_pad)
     scratch_shapes = (
-        pltpu.VMEM((2, h_blk, S, D), k.dtype),
-        pltpu.VMEM((2, h_blk, 1, S_pad), jnp.float32) if quantized else None,
-        pltpu.VMEM((2, h_blk, S, D), v.dtype),
-        pltpu.VMEM((2, h_blk, 1, S_pad), jnp.float32) if quantized else None,
+        pltpu.VMEM(kv_buf_shape, k.dtype),
+        pltpu.VMEM(sc_buf_shape, jnp.float32) if quantized else None,
+        pltpu.VMEM(kv_buf_shape, v.dtype),
+        pltpu.VMEM(sc_buf_shape, jnp.float32) if quantized else None,
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     )
@@ -480,7 +616,7 @@ def flash_decode_attention(
             num_scalar_prefetch=6,
             in_specs=in_specs,
             out_specs=q_spec,
-            grid=(n_j, B),
+            grid=(n_j, B // b_blk),
             scratch_shapes=scratch_shapes,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -505,6 +641,8 @@ def flash_decode_attention(
         vt_scale if quantized else None,
         al3,
     )
+    if b_blk > 1:                    # head-major out -> [B, n_q, D]
+        out = out.transpose(2, 0, 1, 3)
     return out.reshape(B, n_q, D).astype(q.dtype)
 
 

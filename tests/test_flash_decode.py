@@ -150,6 +150,94 @@ class TestKernelVsAttend:
         assert np.all(np.isfinite(np.float32(got)))
 
 
+class TestBatchRowBlocking:
+    """b_blk > 1 (small-S program-overhead amortization): the row-blocked
+    kernel must be numerically identical in structure to b_blk=1 — per-row
+    masks from unrolled SMEM reads, fused (head,row) batched dots, per-row
+    tail stages. Parity vs attend() and vs the unblocked kernel."""
+
+    @pytest.mark.parametrize("kv", ["bfloat16", "int8"])
+    def test_parity_vs_unblocked(self, kv):
+        B, S, H, D = 16, 32, 4, 128
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = jax.random.normal(ks[0], (B, H, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.float32)
+        lengths = jnp.asarray([32, 17, 1, 32, 5, 32, 9, 32,
+                               2, 32, 32, 11, 32, 3, 32, 0], jnp.int32)
+        starts = jnp.asarray([0, 2, 0, 0, 1, 0, 0, 4,
+                              0, 0, 3, 0, 0, 0, 7, 0], jnp.int32)
+        if kv == "int8":
+            qk8, sk = Q.quantize_kv(k)
+            qv8, sv = Q.quantize_kv(v)
+            args = dict(k_scale=hm(sk), v_scale=hm(sv))
+            kk, vv = hm(qk8), hm(qv8)
+        else:
+            args = {}
+            kk = hm(k.astype(jnp.bfloat16))
+            vv = hm(v.astype(jnp.bfloat16))
+        qq = q.astype(jnp.bfloat16)
+        base = flash_decode_attention(qq, kk, vv, lengths, kv_start=starts,
+                                      b_blk=1, **args, **INTERP)
+        blk = flash_decode_attention(qq, kk, vv, lengths, kv_start=starts,
+                                     b_blk=8, **args, **INTERP)
+        np.testing.assert_allclose(np.float32(blk), np.float32(base),
+                                   rtol=2e-2, atol=2e-2)
+        assert np.all(np.float32(blk[-1]) == 0.0)   # zero-length row
+
+    def test_tail_parity_vs_unblocked(self):
+        B, S, H, D, R = 8, 32, 4, 128, 4
+        ks = jax.random.split(jax.random.PRNGKey(12), 5)
+        q = jax.random.normal(ks[0], (B, H, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
+        kt = jax.random.normal(ks[3], (R, B, H, D), jnp.bfloat16)
+        vt = jax.random.normal(ks[4], (R, B, H, D), jnp.bfloat16)
+        lengths = jnp.asarray([20, 8, 0, 28, 15, 1, 28, 6], jnp.int32)
+        tail_lens = jnp.asarray([3, 1, 2, 0, 4, 1, 2, 3], jnp.int32)
+        base = flash_decode_attention(
+            q, hm(k), hm(v), lengths, k_tail=kt, v_tail=vt,
+            tail_lens=tail_lens, b_blk=1, **INTERP)
+        blk = flash_decode_attention(
+            q, hm(k), hm(v), lengths, k_tail=kt, v_tail=vt,
+            tail_lens=tail_lens, b_blk=8, **INTERP)
+        np.testing.assert_allclose(np.float32(blk), np.float32(base),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_int8_tail_vs_attend(self):
+        """Row-blocked int8 kernel incl. quantized tail vs the attend()
+        reference with the tail written at its positions."""
+        B, S, H, D, R = 8, 32, 4, 128, 4
+        ks = jax.random.split(jax.random.PRNGKey(13), 5)
+        q = jax.random.normal(ks[0], (B, H, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.float32)
+        kt = jax.random.normal(ks[3], (R, B, H, D), jnp.float32)
+        vt = jax.random.normal(ks[4], (R, B, H, D), jnp.float32)
+        lengths = jnp.asarray([20, 8, 28, 28, 15, 1, 28, 6], jnp.int32)
+        tail_lens = jnp.asarray([3, 1, 2, 0, 4, 1, 2, 3], jnp.int32)
+        k_full, v_full = k, v
+        for b in range(B):
+            for j in range(int(tail_lens[b])):
+                k_full = k_full.at[b, int(lengths[b]) + j].set(kt[j, b])
+                v_full = v_full.at[b, int(lengths[b]) + j].set(vt[j, b])
+        tot = lengths + tail_lens
+        ref = attend(q[:, None], k_full, v_full, (tot - 1)[:, None],
+                     tot)[:, 0]
+        qk8, sk = Q.quantize_kv(k)
+        qv8, sv = Q.quantize_kv(v)
+        qkt8, skt = Q.quantize_kv(kt)          # [R, B, H(, D)]
+        qvt8, svt = Q.quantize_kv(vt)
+        got = flash_decode_attention(
+            q, hm(qk8), hm(qv8), lengths, k_scale=hm(sk), v_scale=hm(sv),
+            k_tail=qkt8, v_tail=qvt8,
+            kt_scale=jnp.moveaxis(skt, 0, 1),   # [B, R, H]
+            vt_scale=jnp.moveaxis(svt, 0, 1),
+            tail_lens=tail_lens, b_blk=8, **INTERP)
+        np.testing.assert_allclose(np.float32(got), np.float32(ref),
+                                   rtol=4e-2, atol=4e-2)
+
+
 def tiny():
     cfg = ModelConfig.tiny(num_key_value_heads=4, intermediate_size=128)
     specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
