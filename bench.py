@@ -53,7 +53,12 @@ def matmul_flops_per_token(cfg) -> float:
 
 def llama2_7b_cfg(n_layers: int) -> ModelConfig:
     return ModelConfig(
-        model_type="llama", vocab_size=32000, hidden_size=4096,
+        model_type="llama", vocab_size=int(os.environ.get(
+            "BENCH_VOCAB", "32000")),   # head-stage A/B instrument:
+        # a 2048-vocab run prices the lm_head GEMM+read by difference
+        # (the MIXQ_ABLATE_HEAD broadcast replacement measured 69.7ms —
+        # slower than base, i.e. the instrument itself was pathological)
+        hidden_size=4096,
         intermediate_size=11008, num_hidden_layers=n_layers,
         num_attention_heads=32, num_key_value_heads=32,
         max_position_embeddings=4096,

@@ -106,11 +106,36 @@ def main():
             b_blk = os.environ.get("MB_BBLK")
             b_blk = int(b_blk) if b_blk else None
 
+            # MB_TAIL=R: attach an R-deep token-major tail (prices the
+            # in-kernel tail stages against the tail-free kernel)
+            R = int(os.environ.get("MB_TAIL", "0"))
+            targs = {}
+            if R and impl != "flash_dma":
+                kk2 = jax.random.split(kq, 4)
+                if quantized:
+                    targs = dict(
+                        k_tail=jax.random.randint(
+                            kk2[0], (R, B, n_kv, D), -127, 127, jnp.int8),
+                        v_tail=jax.random.randint(
+                            kk2[1], (R, B, n_kv, D), -127, 127, jnp.int8),
+                        kt_scale=jnp.abs(jax.random.normal(
+                            kk2[2], (B, R, n_kv), jnp.float32)) * .01,
+                        vt_scale=jnp.abs(jax.random.normal(
+                            kk2[3], (B, R, n_kv), jnp.float32)) * .01,
+                    )
+                else:
+                    targs = dict(
+                        k_tail=jax.random.normal(
+                            kk2[0], (R, B, n_kv, D), jnp.bfloat16),
+                        v_tail=jax.random.normal(
+                            kk2[1], (R, B, n_kv, D), jnp.bfloat16))
+                targs["tail_lens"] = jnp.full((B,), R - 1, jnp.int32)
+
             @jax.jit
             def f(q, k, v, ks, vs):
                 out = flash_decode_attention(
                     q, k, v, lengths, ks, vs, kv_start=start, mode=mode,
-                    h_blk=h_blk, b_blk=b_blk, alibi_slopes=al)
+                    h_blk=h_blk, b_blk=b_blk, alibi_slopes=al, **targs)
                 return out.astype(jnp.bfloat16)
             return functools.partial(
                 f, k=k_hm, v=v_hm,

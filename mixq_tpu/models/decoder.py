@@ -753,10 +753,18 @@ def forward(
     x = _norm(x, params.lnf_scale, params.lnf_bias, cfg)
     head = params.lm_head if params.lm_head is not None else params.embed.T
     hdt = jnp.dtype(specs.wqkv.out_dtype)   # fp32 for exact-parity testing
-    logits = jnp.dot(
-        x.astype(hdt), head.astype(hdt),
-        preferred_element_type=jnp.float32,
-    )
+    if _os.environ.get("MIXQ_ABLATE_HEAD", "0") == "1":
+        # DIAGNOSTIC ONLY (per-op accounting, PROFILE_r04 §3.2): replace
+        # the lm_head GEMM + weight read with a cheap broadcast so the
+        # full-model A/B difference prices the head stage.
+        logits = jnp.broadcast_to(
+            x[..., :1].astype(jnp.float32),
+            (*x.shape[:-1], cfg.vocab_size))
+    else:
+        logits = jnp.dot(
+            x.astype(hdt), head.astype(hdt),
+            preferred_element_type=jnp.float32,
+        )
     if cfg.final_logit_softcap is not None:    # gemma2
         cap = cfg.final_logit_softcap
         logits = jnp.tanh(logits / cap) * cap

@@ -28,6 +28,12 @@ from mixq_tpu.ops.mixed_linear import LinearSpec, MixLinearParams, QuantizedAct
 # ---------------------------------------------------------------------------
 
 def rmsnorm(x: jax.Array, scale: jax.Array, eps: float = 1e-5) -> jax.Array:
+    import os as _os
+
+    if _os.environ.get("MIXQ_ABLATE_NORM", "0") == "1":
+        # DIAGNOSTIC ONLY (per-op accounting, PROFILE_r04 §3.2): skip the
+        # variance reduce — prices the norm passes in a full-model A/B.
+        return x * scale.astype(x.dtype)
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)

@@ -103,16 +103,17 @@ def _pick_b_blk(B: int, n_kv: int, h_blk: int, S: int, D: int,
     Only when the full head range fits one program (h_blk == n_kv) and
     g == 1: with GQA the q block would need an in-kernel [h,g,b]->[h,b,g]
     relayout, and GQA serving shapes are S>=128 where v4 already hits the
-    roofline. Multiples of 8 only (the block's sublane dim). Tail caps the
-    block at 16: the token-major tail attend is per-row unrolled code."""
+    roofline. Multiples of 8 only (the block's sublane dim). With a tail,
+    the blocked path moves the tail attend OUTSIDE the kernel (emit_ml) —
+    in-kernel tail relayouts measured 0.45-0.53 ms/layer."""
+    del has_tail
     if groups != 1 or h_blk != n_kv or S >= 128:
         return 1
     b = 1
     for cand in (8, 16, 32):
         if (B % cand == 0
                 and 2 * 2 * h_blk * cand * S * D * itemsize
-                <= _VMEM_BUDGET_BLK
-                and not (has_tail and cand > 16)):
+                <= _VMEM_BUDGET_BLK):
             b = cand
     return b
 
@@ -157,11 +158,10 @@ def _kernel(
     al_ref,               # [h_blk, g, 128] f32 ALiBi slopes (value repeated
                           # on the lane axis — Mosaic wants a 128-aligned
                           # last dim; ~KBs) or None
-    # outputs
+    # outputs: o_ref (+ ml_ref when emit_ml), then the scratch refs
     o_ref,                # [h_blk*g, D]
-    # scratch
-    k_buf, ks_buf, v_buf, vs_buf, k_sems, v_sems,
-    *,
+    *rest,                # (ml_ref,)? + (k_buf, ks_buf, v_buf, vs_buf,
+                          #               k_sems, v_sems)
     batch_size: int,
     h_blk: int,
     groups: int,
@@ -177,6 +177,11 @@ def _kernel(
                           # BLOCKS; small-S overhead amortization —
                           # _pick_b_blk docstring). The batched dots fuse
                           # (head, row) into one batch dim; g == 1 only.
+    emit_ml: bool = False,  # write UNNORMALIZED pv + per-(head,row) (m, l)
+                          # softmax stats to a second output; the caller
+                          # merges the token-major tail OUTSIDE the kernel
+                          # (any in-kernel tail relayout measured 0.45-0.53
+                          # ms/layer at S=32 B=512 — §PROFILE_r04)
 ):
     # NOTE measured dead end: aliasing the cache operands through the call
     # (input_output_aliases + pass-through outputs) to spare XLA's buffer
@@ -184,6 +189,8 @@ def _kernel(
     # (1-layer 7B probe: 8.0ms vs 1.7ms aliased/not, identical HLO op
     # inventory — a runtime penalty on aliased Mosaic outputs, likely the
     # relay's buffer handling). Do not reintroduce without re-measuring.
+    ml_ref = rest[0] if emit_ml else None
+    k_buf, ks_buf, v_buf, vs_buf, k_sems, v_sems = rest[-6:]
     j, b = pl.program_id(0), pl.program_id(1)
     n_j = pl.num_programs(0)
     l = layer_ref[0]
@@ -252,6 +259,8 @@ def _kernel(
         o_ref[...] = jnp.broadcast_to(
             o[:, :, None], (nb0, groups, q_ref.shape[-1])
         ).reshape(o_ref.shape).astype(o_ref.dtype)
+        if emit_ml:
+            ml_ref[...] = jnp.zeros(ml_ref.shape, ml_ref.dtype)
         return
 
     S = k_hbm_ref.shape[3]
@@ -263,13 +272,11 @@ def _kernel(
         # per-row masks from unrolled SMEM scalar reads (b_blk tiny [1, S]
         # rows — negligible next to the [S, D] blocks)
         b0 = b * b_blk
-        bias_rows, live_rows, lens, tlens = [], [], [], []
+        bias_rows, live_rows = [], []
         for i in range(b_blk):
             ln = lengths_ref[b0 + i]
             st = starts_ref[b0 + i]
             tl = tail_lens_ref[b0 + i]
-            lens.append(ln)
-            tlens.append(tl)
             bias_rows.append(
                 jnp.where((pos < ln) & (pos >= st), 0.0, MASK_VALUE))
             live_rows.append(((ln + tl) > 0).astype(jnp.float32))
@@ -340,58 +347,41 @@ def _kernel(
         # Tail scores: the last <=R unflushed tokens live in the
         # token-major tail. The tail is tiny, so it is widened +
         # scale-folded on the VPU (negligible vs the [S, D] cache) and
-        # joined into the SAME online softmax as the main scores. With
-        # b_blk > 1 the widen/swap runs per row (unrolled — the tail
-        # block is [R, b_blk, n_kv, D] and the R axis must reach the
-        # dot's minor dims per row), then rows stack back into the fused
-        # batch dim so the pv_t contraction stays ONE batched dot.
-        def tail_row(ktw, vtw, kts, vts, q_row, tail_len, length, al_row):
-            # ktw/vtw [R, h, D]; q_row [h, g, D]; returns per-row scores
-            R = ktw.shape[0]
-            ktw = jnp.swapaxes(ktw, 0, 1).astype(jnp.float32)   # [h, R, D]
-            vtw = jnp.swapaxes(vtw, 0, 1).astype(jnp.float32)
+        # joined into the SAME online softmax as the main scores.
+        # b_blk > 1 with a tail never reaches here: the wrapper routes it
+        # through emit_ml + the XLA-side merge (in-kernel tail relayouts
+        # measured 0.45-0.53 ms/layer at S=32 B=512 — ~17ms of the step).
+        assert b_blk == 1, "blocked tail is handled outside the kernel"
+        ktw = kt_ref[...]                                    # [R, n_kv, D]
+        vtw = vt_ref[...]
+        kts = kts_ref[...] if quantized else None            # [R, n_kv]
+        vts = vts_ref[...] if quantized else None
+        if kt_ref.shape[1] != h_blk:      # head grid split: our range
+            hslice = lambda x, ax: lax.dynamic_slice_in_dim(
+                x, pl.program_id(0) * h_blk, h_blk, axis=ax)
+            ktw, vtw = hslice(ktw, 1), hslice(vtw, 1)
             if quantized:
-                ktw = ktw * jnp.swapaxes(kts, 0, 1)[..., None]  # [h, R, 1]
-                vtw = vtw * jnp.swapaxes(vts, 0, 1)[..., None]
-            qk_t = lax.dot_general(                             # [h, g, R]
-                q_row.astype(jnp.bfloat16), ktw.astype(jnp.bfloat16),
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale
-            tpos = lax.broadcasted_iota(jnp.int32, (1, R), 1)
-            qk_t = qk_t + jnp.where(tpos < tail_len, 0.0, MASK_VALUE)[None]
-            if al_row is not None:    # tail tokens sit at positions
-                qk_t = qk_t + (al_row  # length..length+tail_len-1
-                               * (length + tpos)[None].astype(jnp.float32))
-            return qk_t, vtw
-
-        if b_blk > 1:
-            q4 = q.reshape(h_blk, b_blk, groups, D)
-            qk_t_rows, vtw_rows = [], []
-            for i in range(b_blk):
-                qk_t_i, vtw_i = tail_row(
-                    kt_ref[:, i], vt_ref[:, i],
-                    kts_ref[i] if quantized else None,
-                    vts_ref[i] if quantized else None,
-                    q4[:, i], tlens[i], lens[i], al2 if has_alibi else None)
-                qk_t_rows.append(qk_t_i[:, None])            # [h,1,g,R]
-                vtw_rows.append(vtw_i[:, None])              # [h,1,R,D]
-            R = kt_ref.shape[0]
-            qk_t = jnp.concatenate(qk_t_rows, 1).reshape(nb, groups, R)
-            vtw = jnp.concatenate(vtw_rows, 1).reshape(nb, R, D)
-        else:
-            ktw = kt_ref[...]                                # [R, n_kv, D]
-            vtw0 = vt_ref[...]
-            kts = kts_ref[...] if quantized else None        # [R, n_kv]
-            vts = vts_ref[...] if quantized else None
-            if kt_ref.shape[1] != h_blk:  # head grid split: our range
-                hslice = lambda x, ax: lax.dynamic_slice_in_dim(
-                    x, pl.program_id(0) * h_blk, h_blk, axis=ax)
-                ktw, vtw0 = hslice(ktw, 1), hslice(vtw0, 1)
-                if quantized:
-                    kts, vts = hslice(kts, 1), hslice(vts, 1)
-            qk_t, vtw = tail_row(ktw, vtw0, kts, vts,
-                                 q.reshape(h_blk, groups, D),
-                                 tail_len, length, alibi_sl)
+                kts, vts = hslice(kts, 1), hslice(vts, 1)
+        # head-major [h, R, D] for the batched dots: Mosaic's tpu.matmul
+        # requires BOTH batch dims at operand position 0 ("batch dims
+        # must be equal") — a [R,h,*]-batched-on-dim-1 form fails to
+        # lower. The swap is a ~32KB relayout.
+        ktw = jnp.swapaxes(ktw, 0, 1).astype(jnp.float32)    # [h, R, D]
+        vtw = jnp.swapaxes(vtw, 0, 1).astype(jnp.float32)
+        if quantized:
+            ktw = ktw * jnp.swapaxes(kts, 0, 1)[..., None]   # [h, R, 1]
+            vtw = vtw * jnp.swapaxes(vts, 0, 1)[..., None]
+        R = ktw.shape[1]
+        qk_t = lax.dot_general(                              # [h, g, R]
+            q.reshape(h_blk, groups, D).astype(jnp.bfloat16),
+            ktw.astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        tpos = lax.broadcasted_iota(jnp.int32, (1, R), 1)
+        qk_t = qk_t + jnp.where(tpos < tail_len, 0.0, MASK_VALUE)[None]
+        if alibi_sl is not None:      # tail tokens sit at positions
+            qk_t = qk_t + (alibi_sl   # length..length+tail_len-1
+                           * (length + tpos)[None].astype(jnp.float32))
         m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True),
                         jnp.max(qk_t, axis=-1, keepdims=True))
         p_t = jnp.exp(qk_t - m)
@@ -415,12 +405,23 @@ def _kernel(
         pv = lax.dot_general(
             p_i8, v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)                # [nb, g, D]
-        o = (pv.astype(jnp.float32) * p_scale + pv_t) / l
+        pv = pv.astype(jnp.float32) * p_scale
     else:
         pv = lax.dot_general(
             p.astype(jnp.bfloat16), v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        o = (pv + pv_t) / l
+    if emit_ml:
+        # unnormalized pv + (m, l) stats; the caller's XLA-side merge
+        # joins the tail softmax and applies /l and the live mask.
+        # All-masked rows emit m=MASK_VALUE with bogus l — the caller's
+        # live mask zeroes them (values stay finite).
+        o_ref[...] = pv.reshape(o_ref.shape).astype(o_ref.dtype)
+        lanes = ml_ref.shape[-1]
+        ml = jnp.concatenate(
+            [m, l] + [jnp.zeros_like(m)] * (lanes - 2), axis=-1)
+        ml_ref[...] = ml.reshape(ml_ref.shape).astype(ml_ref.dtype)
+        return
+    o = (pv + pv_t) / l
     o = o * live
     o_ref[...] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
@@ -483,6 +484,14 @@ def flash_decode_attention(
     assert B % b_blk == 0, (B, b_blk)
     if b_blk > 1:
         assert g == 1 and h_blk == n_kv, (g, h_blk, n_kv)
+    # Row-blocked + tail: the tail attend moves OUTSIDE the kernel. Any
+    # in-kernel route to the (head,row)-batched tail dots needs a VMEM
+    # relayout of the token-major block, and Mosaic relayouts/unrolled
+    # per-row stages measured 0.45-0.53 ms/layer at S=32 B=512 (~17ms of
+    # the 49.2ms step) vs 0.186 ms/layer tail-free. The kernel emits
+    # unnormalized pv + (m, l); XLA attends the tiny [R, B, h, D] tail
+    # (token-major, no relayout needed for a reduce lowering) and merges.
+    tail_outside = has_tail and b_blk > 1
 
     layer_arr = jnp.asarray(layer, jnp.int32).reshape((1,))
     lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (B,))
@@ -556,30 +565,23 @@ def flash_decode_attention(
         al3 = al_spec = None
     kernel = functools.partial(
         _kernel, batch_size=B // b_blk, h_blk=h_blk, groups=g,
-        quantized=quantized, has_tail=has_tail, mode=mode,
-        has_alibi=has_alibi, b_blk=b_blk)
+        quantized=quantized, has_tail=has_tail and not tail_outside,
+        mode=mode, has_alibi=has_alibi, b_blk=b_blk,
+        emit_ml=tail_outside)
 
-    if has_tail:
+    if has_tail and not tail_outside:
         R = k_tail.shape[1]
         # auto-pipelined blocks (not manual DMA), every dim taken WHOLE
         # (Mosaic block alignment rule — see kernel param comments);
         # values are [L, R, B, n_kv, D], scales [L, B, R, n_kv]; the
         # layer index comes from the prefetched scalar (index maps
         # receive the scalar refs after the grid ids)
-        if b_blk > 1:
-            kt_spec = pl.BlockSpec(
-                (None, R, b_blk, n_kv, D),
-                lambda j, b, layer, *_: (layer[0], 0, b, 0, 0))
-            kts_spec = pl.BlockSpec(
-                (None, b_blk, R, n_kv),
-                lambda j, b, layer, *_: (layer[0], b, 0, 0))
-        else:
-            kt_spec = pl.BlockSpec(
-                (None, R, None, n_kv, D),
-                lambda j, b, layer, *_: (layer[0], 0, b, 0, 0))
-            kts_spec = pl.BlockSpec(
-                (None, None, R, n_kv),
-                lambda j, b, layer, *_: (layer[0], b, 0, 0))
+        kt_spec = pl.BlockSpec(
+            (None, R, None, n_kv, D),
+            lambda j, b, layer, *_: (layer[0], 0, b, 0, 0))
+        kts_spec = pl.BlockSpec(
+            (None, None, R, n_kv),
+            lambda j, b, layer, *_: (layer[0], b, 0, 0))
     else:
         kt_spec = kts_spec = None
 
@@ -610,17 +612,34 @@ def flash_decode_attention(
         pltpu.SemaphoreType.DMA((2,)),
     )
 
+    if tail_outside:
+        # second output: per-(head,row) (m, l) softmax stats. Lane dim 8 =
+        # full-dim block (allowed by the Mosaic last-two-dims rule), so the
+        # stats cost ~0.5MB/layer of traffic instead of a 128-lane pad.
+        ml_shape = jax.ShapeDtypeStruct((n_kv, g, B, 8), jnp.float32)
+        ml_spec = pl.BlockSpec((h_blk, g, b_blk, 8),
+                               lambda j, b, *_: (j, 0, b, 0))
+        out_shape = (out_shape, ml_shape)
+        out_specs = (q_spec, ml_spec)
+    else:
+        out_specs = q_spec
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             in_specs=in_specs,
-            out_specs=q_spec,
+            out_specs=out_specs,
             grid=(n_j, B // b_blk),
             scratch_shapes=scratch_shapes,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # row-blocked scratch + f32 score temps exceed the default
+            # 16MB scoped-vmem limit (measured 22.85M at b_blk=16 S=32
+            # int8); the kernel double-buffers its own DMAs, so raising
+            # the cap is safe — v5e VMEM is 128MB
+            vmem_limit_bytes=(64 * 1024 * 1024 if b_blk > 1 else None)),
         out_shape=out_shape,
         interpret=interpret,
     )(
@@ -635,12 +654,52 @@ def flash_decode_attention(
         k_scale,
         v,
         v_scale,
-        k_tail,
-        kt_scale if quantized else None,
-        v_tail,
-        vt_scale if quantized else None,
+        k_tail if not tail_outside else None,
+        kt_scale if quantized and not tail_outside else None,
+        v_tail if not tail_outside else None,
+        vt_scale if quantized and not tail_outside else None,
         al3,
     )
+
+    if tail_outside:
+        out, ml = out
+        # head-major [n_kv, g, B, *] -> [B, n_q, *]
+        o_un = out.transpose(2, 0, 1, 3).reshape(B, n_q, D)
+        m_k = ml[..., 0].transpose(2, 0, 1).reshape(B, n_q)
+        l_k = ml[..., 1].transpose(2, 0, 1).reshape(B, n_q)
+        R = k_tail.shape[1]
+        ktf = k_tail[layer].astype(jnp.float32)        # [R, B, n_kv, D]
+        vtf = v_tail[layer].astype(jnp.float32)
+        if quantized:
+            # tail scales stored [L, B, R, n_kv]
+            ktf = ktf * jnp.transpose(
+                kt_scale[layer], (1, 0, 2))[..., None]
+            vtf = vtf * jnp.transpose(
+                vt_scale[layer], (1, 0, 2))[..., None]
+        scale = 1.0 / (D ** 0.5)
+        scores_t = jnp.einsum(
+            "bhd,rbhd->bhr", q.astype(jnp.float32), ktf,
+            preferred_element_type=jnp.float32) * scale
+        tpos = jnp.arange(R, dtype=jnp.int32)
+        scores_t = scores_t + jnp.where(
+            tpos[None, None, :] < tail_lens[:, None, None],
+            0.0, MASK_VALUE)
+        if has_alibi:   # tail tokens at absolute positions length + tpos
+            scores_t = scores_t + (
+                jnp.asarray(alibi_slopes, jnp.float32)[None, :, None]
+                * (lengths[:, None, None] + tpos[None, None, :]
+                   ).astype(jnp.float32))
+        m_j = jnp.maximum(m_k, jnp.max(scores_t, axis=-1))   # [B, n_q]
+        a_k = jnp.exp(m_k - m_j)
+        p_t = jnp.exp(scores_t - m_j[..., None])
+        pv_t = jnp.einsum("bhr,rbhd->bhd", p_t, vtf,
+                          preferred_element_type=jnp.float32)
+        l_j = jnp.maximum(l_k * a_k + jnp.sum(p_t, axis=-1), 1e-20)
+        live = ((lengths + tail_lens) > 0).astype(jnp.float32)
+        o = (o_un * a_k[..., None] + pv_t) / l_j[..., None] \
+            * live[:, None, None]
+        return o.astype(q.dtype)
+
     if b_blk > 1:                    # head-major out -> [B, n_q, D]
         out = out.transpose(2, 0, 1, 3)
     return out.reshape(B, n_q, D).astype(q.dtype)

@@ -140,6 +140,14 @@ def quantize_act_per_token(
     has no int4 lanes; packing only pays for weights at rest).
     """
     qmax = 127.0 if bits == 8 else 7.0
+    import os as _os
+
+    if _os.environ.get("MIXQ_ABLATE_QUANT", "0") == "1":
+        # DIAGNOSTIC ONLY (per-op accounting, PROFILE_r04 §3.2): skip the
+        # absmax/round passes (plain cast, unit scale) — keeps every int8
+        # GEMM live at the same shapes; outputs are numerically wrong.
+        return (x.astype(jnp.int8),
+                jnp.ones((*x.shape[:-1], 1), jnp.float32))
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax / qmax, 1e-8)
     q = jnp.clip(jnp.round(x / scale), -qmax, qmax).astype(jnp.int8)
