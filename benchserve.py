@@ -91,11 +91,17 @@ def main():
         params = init_decoder_params(jax.random.PRNGKey(0), cfg, specs)
     params = jax.device_put(params)
     jax.block_until_ready(params)
+    # BENCH_ASYNC=1: lag-1 pipelined windows (step_window_async) — the
+    # fetch round-trip + host bookkeeping overlap the next window's
+    # device time. BENCH_WINDOW_R: decode steps per window dispatch.
+    use_async = os.environ.get("BENCH_ASYNC", "0") == "1"
+    window_r = int(os.environ.get("BENCH_WINDOW_R", "0"))
     eng = ContinuousBatchingEngine(
         params, cfg, specs,
         EngineConfig(max_batch_size=n_slots, max_seq_len=max_seq,
                      prefill_chunk=32, kv_dtype=kv, spec_k=spec_k,
-                     spec_ngram=spec_ngram))
+                     spec_ngram=spec_ngram, window_r=window_r,
+                     async_windows=use_async))
     print(f"init {time.time()-t0:.1f}s slots={n_slots} kv={kv} attn={attn} "
           f"hm={eng.cache.head_major}", file=sys.stderr)
     if os.environ.get("BENCH_WARMUP", "0") == "1":
@@ -164,6 +170,8 @@ def main():
                 eng.step_spec_window()
             else:
                 eng.step_serve()
+        elif use_async:
+            eng.step_window_async()
         else:
             eng.step_window()
         dt = time.time() - t_w
@@ -191,7 +199,8 @@ def main():
         "windows": window,
         "ms_per_window": round(ms_per_window, 2),
         "window_R": int(eng.cache.k_tail.shape[1])
-        if eng.cache.k_tail is not None else 8,
+        if eng.cache.k_tail is not None else eng._window_r,
+        "async": use_async,
         "wait_windows_p50": float(np.percentile(waits, 50)),
         "wait_windows_p95": float(np.percentile(waits, 95)),
         "compile_windows": compile_windows,

@@ -203,6 +203,18 @@ class EngineConfig:
     # on device, early exit when every row hit EOS — no host round-trip per
     # token (the stepwise path fetches sampled tokens every step)
     device_decode_loop: bool = True
+    # CB decode-window length (steps per step_window dispatch). 0 = the
+    # flash tail default (DEFAULT_TAIL_R=8). For head-major caches this is
+    # also the staged-tail size, so it shapes the flash kernel's tail
+    # attend — bigger R amortizes per-window host/transport overhead at
+    # the cost of more discarded post-finish tokens per slot.
+    window_r: int = 0
+    # lag-1 pipelined windows (step_window_async): dispatch window N+1
+    # from DEVICE-carried (cur_tokens, lengths) before fetching window
+    # N's outputs, so the fetch round-trip + host bookkeeping overlap
+    # window N+1's device execution. Costs one window of admission lag
+    # per request (completions are observed one window late).
+    async_windows: bool = False
     # continuous-batching speculative decoding (prompt-lookup n-gram
     # drafts, engine/speculative.py): spec_k > 1 makes every CB decode
     # step a T=spec_k verify forward — greedy rows draft from their own

@@ -155,6 +155,14 @@ class ContinuousBatchingEngine:
         self._flush = _flush
         self._steps_since_flush = 0
         self._windows: Dict = {}
+        # lag-1 async-window state (step_window_async): the in-flight
+        # window's (device handles, dispatch-time slot->rid map), the
+        # device-carried (cur_tokens, lengths) for the next dispatch, and
+        # the slots whose carries must be overridden from host state
+        # because admission rewrote them since the last dispatch
+        self._async_inflight = None
+        self._async_carry = None
+        self._async_overrides: set = set()
 
         hm = use_head_major_cache(
             specs_.attn_impl, mc, self.max_seq,
@@ -177,6 +185,7 @@ class ContinuousBatchingEngine:
             hm = False
         from mixq_tpu.ops.pallas.flash_decode import DEFAULT_TAIL_R
 
+        self._window_r = self.ecfg.window_r or DEFAULT_TAIL_R
         self.cache = KVCache.create(
             mc.num_hidden_layers, self.n_slots, self.max_seq,
             mc.num_key_value_heads, mc.head_dim_,
@@ -184,7 +193,7 @@ class ContinuousBatchingEngine:
             head_major=hm,
             # per-row staged windows: decode never scatters into the big
             # cache; step() flushes every R steps (layers.py KVCache)
-            tail_r=DEFAULT_TAIL_R if hm else 0, per_row_tail=True)
+            tail_r=self._window_r if hm else 0, per_row_tail=True)
         if mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
 
@@ -312,6 +321,7 @@ class ContinuousBatchingEngine:
         scheduling quantum); restore() continues bit-identically for
         greedy rows and reproducibly for sampled rows (the PRNG key is
         part of the state)."""
+        self.drain_async()
         import dataclasses as _dc
         import json as _json
 
@@ -550,6 +560,7 @@ class ContinuousBatchingEngine:
     def step(self, sampling: SamplingParams = SamplingParams()) -> int:
         """Admit + prefill pending requests, then one decode step for all
         active slots. Returns number of active slots stepped."""
+        self.drain_async()
         admits = self.sched.admit()
         if admits:
             self._admit_many(admits)
@@ -604,6 +615,7 @@ class ContinuousBatchingEngine:
         k = self.ecfg.spec_k
         assert k > 1, "step_spec needs EngineConfig.spec_k > 1"
 
+        self.drain_async(eos_token_id)
         admits = self.sched.admit()
         if admits:
             self._admit_many(admits)
@@ -762,6 +774,7 @@ class ContinuousBatchingEngine:
         discard-after-finish and boundary-admission semantics; greedy
         rows stay bit-identical to plain greedy decode). Returns the
         number of slots active in the window."""
+        self.drain_async(eos_token_id)
         admits = self.sched.admit()
         if admits:
             self._admit_many(admits)
@@ -883,7 +896,7 @@ class ContinuousBatchingEngine:
             return fn
         specs_, mc = self.specs, self.cfg
         R = (self.cache.k_tail.shape[1] if self.cache.k_tail is not None
-             else 8)
+             else self._window_r)
         S = self.max_seq
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -922,6 +935,7 @@ class ContinuousBatchingEngine:
         the window are discarded; admissions happen only at window
         boundaries (a queued request waits up to R-1 extra steps).
         Returns the number of slots that were active in the window."""
+        self.drain_async(eos_token_id)
         admits = self.sched.admit()
         if admits:
             self._admit_many(admits)
@@ -944,11 +958,97 @@ class ContinuousBatchingEngine:
             self.params, jnp.asarray(self.cur_tokens), self.cache,
             jnp.asarray(self.lengths), jnp.asarray(active_np), sub,
             *self._sampling_arrays(sampling))
+        self._process_window_rec(
+            (toks, lps, list(active),
+             {s: self._slot_req.get(s) for s in active}), eos_token_id)
+        return len(active)
+
+    def step_window_async(self, sampling: SamplingParams = SamplingParams(),
+                          eos_token_id: Optional[int] = None) -> int:
+        """Lag-1 pipelined step_window: dispatch window N+1 BEFORE
+        fetching window N's outputs, so the fetch round-trip plus the
+        host bookkeeping overlap window N+1's device execution (the
+        relay pays ~25-100ms per blocking fetch; the sync loop idles the
+        chip for exactly that long every window).
+
+        The next window's (cur_tokens, lengths) come from DEVICE carries
+        (the in-flight window's outputs) — no host fetch is needed to
+        keep decoding. Host values are spliced in per-slot (`use_ov`)
+        only where admission rewrote a slot since the last dispatch.
+        Costs of the lag: completions are observed one window late, so a
+        freed slot re-enters service one window later than the sync loop
+        (occupancy loss ~= 1 window per request), and a slot that
+        finished in the in-flight window decodes one further window of
+        discarded tokens (its stale `active` bit). Tokens are attributed
+        at process time via the dispatch-time slot->rid map, so slot
+        reuse never leaks another request's tokens."""
+        admits = self.sched.admit()
+        if admits:
+            self._admit_many(admits)
+            self._async_overrides.update(slot for _, slot in admits)
+
+        active = self.sched.active_slots()
+        if not active:
+            self.drain_async(eos_token_id)
+            return 0
+
+        if self.cache.k_tail is not None and self._steps_since_flush:
+            self.cache = self._flush(self.cache, jnp.asarray(self.lengths))
+            self._steps_since_flush = 0
+
+        active_np = np.zeros((self.n_slots,), bool)
+        active_np[active] = True
+        self._key, sub = jax.random.split(self._key)
+        window, R = self._get_window_async()
+        if self._async_carry is None:
+            # first window of an async run: host state is exact
+            carry_tok = jnp.asarray(self.cur_tokens)
+            carry_len = jnp.asarray(self.lengths)
+            use_ov = np.ones((self.n_slots,), bool)
+        else:
+            carry_tok, carry_len = self._async_carry
+            use_ov = np.zeros((self.n_slots,), bool)
+            if self._async_overrides:
+                use_ov[list(self._async_overrides)] = True
+        toks, lps, ntok, nlen, self.cache = window(
+            self.params, carry_tok, carry_len,
+            jnp.asarray(self.cur_tokens), jnp.asarray(self.lengths),
+            jnp.asarray(use_ov), self.cache, jnp.asarray(active_np), sub,
+            *self._sampling_arrays(sampling))
+        self._async_carry = (ntok, nlen)
+        self._async_overrides.clear()
+        prev, self._async_inflight = self._async_inflight, (
+            toks, lps, list(active),
+            {s: self._slot_req.get(s) for s in active})
+        if prev is not None:
+            self._process_window_rec(prev, eos_token_id)
+        return len(active)
+
+    def drain_async(self, eos_token_id: Optional[int] = None) -> None:
+        """Flush lag-1 async state: process the in-flight window (if
+        any) and drop the device carries. After processing, the host
+        (cur_tokens, lengths) are exact for every running slot (every
+        accepted token updated them), so the carries are redundant.
+        Called at the top of every non-async step so modes compose."""
+        prev, self._async_inflight = self._async_inflight, None
+        self._async_carry = None
+        self._async_overrides.clear()
+        if prev is not None:
+            self._process_window_rec(prev, eos_token_id)
+
+    def _process_window_rec(self, rec, eos_token_id) -> None:
+        """Fetch + account one decode window's outputs. `rec` carries the
+        dispatch-time active list and slot->rid map: a slot whose request
+        changed hands (finished + re-admitted before this window was
+        processed — async lag) or already finished has its tokens
+        DISCARDED, never appended to the new occupant."""
+        toks, lps, active_list, rids = rec
         toks = np.asarray(toks)                    # [R, n_slots]
         lps = np.asarray(lps)
-
-        running = set(active)
-        for r in range(R):
+        running = {s for s in active_list
+                   if rids[s] is not None
+                   and self._slot_req.get(s) == rids[s]}
+        for r in range(toks.shape[0]):
             if not running:
                 break
             for slot in list(running):
@@ -967,7 +1067,48 @@ class ContinuousBatchingEngine:
                           and tok == eos_token_id)):
                     self.finish_slot(slot)
                     running.discard(slot)
-        return len(active)
+
+    def _get_window_async(self):
+        """step_window_async's program: the step_window scan, but
+        (cur_tokens, lengths) enter as device carries merged with host
+        overrides, and the post-scan (tok, lengths) are RETURNED so the
+        next dispatch can chain off them without a host fetch."""
+        fn = self._windows.get("window_async")
+        if fn is not None:
+            return fn
+        specs_, mc = self.specs, self.cfg
+        R = (self.cache.k_tail.shape[1] if self.cache.k_tail is not None
+             else self._window_r)
+        S = self.max_seq
+
+        @functools.partial(jax.jit, donate_argnums=(6,))
+        def window_async(params, carry_tok, carry_len, ov_tok, ov_len,
+                        use_ov, cache, active, key, temp, topk, topp):
+            tok = jnp.where(use_ov, ov_tok, carry_tok)
+            lengths = jnp.where(use_ov, ov_len, carry_len)
+
+            def one_step(c, _):
+                tok, cache, lengths, key = c
+                key, sub = jax.random.split(key)
+                logits, cache = forward(params, tok[:, None], cache,
+                                        specs_, mc, slot_lengths=lengths,
+                                        decode_mesh=self.mesh)
+                last = logits[:, -1, :]
+                t2 = sample_per_slot(last, sub, temp, topk, topp)
+                lp2 = chosen_logprob(last, t2)
+                tok = jnp.where(active, t2, tok)
+                lengths = jnp.minimum(lengths + active.astype(jnp.int32),
+                                      S - 1)
+                return (tok, cache, lengths, key), (t2, lp2)
+
+            (tok, cache, lengths, key), (toks, lps) = jax.lax.scan(
+                one_step, (tok, cache, lengths, key), None, length=R)
+            if cache.k_tail is not None:
+                cache = cache.flush_tail(lengths)
+            return toks, lps, tok, lengths, cache
+
+        self._windows["window_async"] = (window_async, R)
+        return self._windows["window_async"]
 
     def _finish_request(self, slot: int, rid: int) -> None:
         """Move a request's buffers to done and clear the slot state
@@ -1005,6 +1146,8 @@ class ContinuousBatchingEngine:
                 # adaptive routing: spec windows while they pay, plain
                 # windows with periodic re-probes otherwise (step_serve)
                 self.step_serve(sampling, eos_token_id=eos_token_id)
+            elif use_window and self.ecfg.async_windows:
+                self.step_window_async(sampling, eos_token_id=eos_token_id)
             elif use_window:
                 self.step_window(sampling, eos_token_id=eos_token_id)
             else:
