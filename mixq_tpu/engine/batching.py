@@ -902,12 +902,29 @@ class ContinuousBatchingEngine:
         @functools.partial(jax.jit, donate_argnums=(2,))
         def window(params, cur_tokens, cache, lengths, active, key,
                    temp, topk, topp):
+            # tail-staged pools: a decode step mutates ONLY the 4 tail
+            # arrays (main k/v/scales, length, tail_base are untouched —
+            # layers.py _update_tail_slots), so the scan carries just the
+            # tails and closes over the rest. Carrying the full cache
+            # makes the multi-GB main arrays while-loop carries, and XLA
+            # inserts a whole-k-cache relayout copy at the loop boundary
+            # (3.0G HLO temp at 96 slots x 256 seq — the r04 capacity
+            # OOM, campaign_r04b.log). As invariants they are read in
+            # place: no boundary copy, HBM headroom goes to slots.
+            staged = cache.k_tail is not None
+
             def one_step(c, _):
-                tok, cache, lengths, key = c
+                if staged:
+                    tok, tails, lengths, key = c
+                    cache_s = cache._replace(
+                        k_tail=tails[0], v_tail=tails[1],
+                        kt_scale=tails[2], vt_scale=tails[3])
+                else:
+                    tok, cache_s, lengths, key = c
                 key, sub = jax.random.split(key)
-                logits, cache = forward(params, tok[:, None], cache,
-                                        specs_, mc, slot_lengths=lengths,
-                                        decode_mesh=self.mesh)
+                logits, cache_s = forward(params, tok[:, None], cache_s,
+                                          specs_, mc, slot_lengths=lengths,
+                                          decode_mesh=self.mesh)
                 last = logits[:, -1, :]
                 t2 = sample_per_slot(last, sub, temp, topk, topp)
                 lp2 = chosen_logprob(last, t2)
@@ -916,12 +933,21 @@ class ContinuousBatchingEngine:
                 # (static shapes) but must not index past the cache
                 lengths = jnp.minimum(lengths + active.astype(jnp.int32),
                                       S - 1)
-                return (tok, cache, lengths, key), (t2, lp2)
+                carry = (cache_s.k_tail, cache_s.v_tail, cache_s.kt_scale,
+                         cache_s.vt_scale) if staged else cache_s
+                return (tok, carry, lengths, key), (t2, lp2)
 
-            (tok, cache, lengths, key), (toks, lps) = jax.lax.scan(
-                one_step, (cur_tokens, cache, lengths, key), None, length=R)
-            if cache.k_tail is not None:
+            init = ((cache.k_tail, cache.v_tail, cache.kt_scale,
+                     cache.vt_scale) if staged else cache)
+            (tok, carry, lengths, key), (toks, lps) = jax.lax.scan(
+                one_step, (cur_tokens, init, lengths, key), None, length=R)
+            if staged:
+                cache = cache._replace(
+                    k_tail=carry[0], v_tail=carry[1],
+                    kt_scale=carry[2], vt_scale=carry[3])
                 cache = cache.flush_tail(lengths)
+            else:
+                cache = carry
             return toks, lps, cache       # toks/lps [R, B]
 
         self._windows["window"] = (window, R)
@@ -1086,25 +1112,43 @@ class ContinuousBatchingEngine:
                         use_ov, cache, active, key, temp, topk, topp):
             tok = jnp.where(use_ov, ov_tok, carry_tok)
             lengths = jnp.where(use_ov, ov_len, carry_len)
+            # tails-only scan carry — see _get_window for why (the full
+            # cache as carry costs a whole-k-cache boundary copy)
+            staged = cache.k_tail is not None
 
             def one_step(c, _):
-                tok, cache, lengths, key = c
+                if staged:
+                    tok, tails, lengths, key = c
+                    cache_s = cache._replace(
+                        k_tail=tails[0], v_tail=tails[1],
+                        kt_scale=tails[2], vt_scale=tails[3])
+                else:
+                    tok, cache_s, lengths, key = c
                 key, sub = jax.random.split(key)
-                logits, cache = forward(params, tok[:, None], cache,
-                                        specs_, mc, slot_lengths=lengths,
-                                        decode_mesh=self.mesh)
+                logits, cache_s = forward(params, tok[:, None], cache_s,
+                                          specs_, mc, slot_lengths=lengths,
+                                          decode_mesh=self.mesh)
                 last = logits[:, -1, :]
                 t2 = sample_per_slot(last, sub, temp, topk, topp)
                 lp2 = chosen_logprob(last, t2)
                 tok = jnp.where(active, t2, tok)
                 lengths = jnp.minimum(lengths + active.astype(jnp.int32),
                                       S - 1)
-                return (tok, cache, lengths, key), (t2, lp2)
+                carry = (cache_s.k_tail, cache_s.v_tail, cache_s.kt_scale,
+                         cache_s.vt_scale) if staged else cache_s
+                return (tok, carry, lengths, key), (t2, lp2)
 
-            (tok, cache, lengths, key), (toks, lps) = jax.lax.scan(
-                one_step, (tok, cache, lengths, key), None, length=R)
-            if cache.k_tail is not None:
+            init = ((cache.k_tail, cache.v_tail, cache.kt_scale,
+                     cache.vt_scale) if staged else cache)
+            (tok, carry, lengths, key), (toks, lps) = jax.lax.scan(
+                one_step, (tok, init, lengths, key), None, length=R)
+            if staged:
+                cache = cache._replace(
+                    k_tail=carry[0], v_tail=carry[1],
+                    kt_scale=carry[2], vt_scale=carry[3])
                 cache = cache.flush_tail(lengths)
+            else:
+                cache = carry
             return toks, lps, tok, lengths, cache
 
         self._windows["window_async"] = (window_async, R)
