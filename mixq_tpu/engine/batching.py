@@ -163,6 +163,12 @@ class ContinuousBatchingEngine:
         self._async_inflight = None
         self._async_carry = None
         self._async_overrides: set = set()
+        # eos_token_id of the most recent step_window_async dispatch: the
+        # in-flight window was SAMPLED under that stopping contract, so a
+        # later drain (snapshot(), a mode switch via step()) must apply
+        # the same EOS when it processes the window — otherwise restore
+        # decodes past EOS to the budget (ADVICE r4).
+        self._async_eos: Optional[int] = None
 
         hm = use_head_major_cache(
             specs_.attn_impl, mc, self.max_seq,
@@ -1046,6 +1052,7 @@ class ContinuousBatchingEngine:
         prev, self._async_inflight = self._async_inflight, (
             toks, lps, list(active),
             {s: self._slot_req.get(s) for s in active})
+        self._async_eos = eos_token_id
         if prev is not None:
             self._process_window_rec(prev, eos_token_id)
         return len(active)
@@ -1055,7 +1062,17 @@ class ContinuousBatchingEngine:
         any) and drop the device carries. After processing, the host
         (cur_tokens, lengths) are exact for every running slot (every
         accepted token updated them), so the carries are redundant.
-        Called at the top of every non-async step so modes compose."""
+        Called at the top of every non-async step so modes compose.
+
+        When no eos_token_id is given (snapshot(), plain step()), the
+        in-flight window is processed under the EOS contract it was
+        DISPATCHED with (`self._async_eos`) — draining with None would
+        append post-EOS tokens and leave the slot running forever.
+        Note the structural lag-1 cost: after the last request finishes,
+        the final dispatched window is always fully wasted device time
+        (its active mask is stale by one window)."""
+        if eos_token_id is None:
+            eos_token_id = self._async_eos
         prev, self._async_inflight = self._async_inflight, None
         self._async_carry = None
         self._async_overrides.clear()

@@ -120,6 +120,35 @@ class TestAsyncWindow:
                          n_slots=4)
         assert [out[r] for r in ids] == ref
 
+    def test_snapshot_drains_async_with_eos(self, model, tmp_path):
+        """snapshot() drains the in-flight window under the EOS contract
+        it was DISPATCHED with (self._async_eos): a drain with eos=None
+        would append post-EOS tokens and the restored slot would decode
+        to its budget instead of stopping (ADVICE r4, medium)."""
+        params, cfg, specs = model
+        ref = run_engine(model, async_windows=False, prompts=PROMPTS[:3],
+                         n_slots=4)
+        eos = ref[0][4]
+        ref = run_engine(model, async_windows=False, prompts=PROMPTS[:3],
+                         n_slots=4, eos=eos)
+
+        eng = make_engine(model, async_windows=True, n_slots=4)
+        ids = [eng.add_request(p, 11) for p in PROMPTS[:3]]
+        # enough async windows that request 0 crosses its EOS while a
+        # window is still in flight at snapshot time
+        for _ in range(3):
+            eng.step_window_async(eos_token_id=eos)
+        done_before = eng.finished()
+        eng.snapshot(str(tmp_path / "snap_eos"))
+        eng2 = ContinuousBatchingEngine.restore(
+            str(tmp_path / "snap_eos"), params, cfg, specs,
+            EngineConfig(max_batch_size=4, max_seq_len=64,
+                         prefill_chunk=8))
+        out = {**done_before, **eng2.finished(),
+               **eng2.run_to_completion(eos_token_id=eos)}
+        assert [out[r] for r in ids] == ref
+        assert out[ids[0]][-1] == eos and len(out[ids[0]]) <= 11
+
     def test_empty_queue_noop(self, model):
         eng = make_engine(model, async_windows=True)
         assert eng.step_window_async() == 0
