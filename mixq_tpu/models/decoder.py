@@ -247,17 +247,35 @@ def block_core(
         q = mixed_linear_prepared(bp.attn.wq, act, specs.wqkv)
         k = mixed_linear_prepared(bp.attn.wk, act, specs.wqkv)
         v = mixed_linear_prepared(bp.attn.wv, act, specs.wqkv)
-    q = q.reshape(B, T, n_q, hd)
-    k = k.reshape(B, T, n_kv, hd)
     v = v.reshape(B, T, n_kv, hd)
-    if bp.attn.q_norm is not None:
-        # QK-Norm (qwen3): per-head RMSNorm over head_dim before RoPE
-        from mixq_tpu.models.layers import rmsnorm
+    # Flat rope (apply_rope_flat): rotate on the GEMM's own [B, T, n*hd]
+    # layout so XLA doesn't relayout q/k into a rope-only tile domain and
+    # back (2 copies x 8MB per projection per layer at B=512 — the
+    # biggest slice of PROFILE_r04 §3.3's glue). Falls back to the
+    # per-head path for partial-rotary / gptj-interleave / QK-norm
+    # models. Bit-identical to the per-head path in f32.
+    flat_rope = (
+        _os.environ.get("MIXQ_ROPE_FLAT", "1") == "1"
+        and cfg.rope_style == "neox"
+        and (cfg.rotary_dim is None or cfg.rotary_dim == hd)
+        and bp.attn.q_norm is None
+    )
+    if flat_rope:
+        from mixq_tpu.models.layers import apply_rope_flat
 
-        q = rmsnorm(q, bp.attn.q_norm, eps=cfg.rms_norm_eps)
-        k = rmsnorm(k, bp.attn.k_norm, eps=cfg.rms_norm_eps)
-    q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rotary_dim)
-    k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rotary_dim)
+        q = apply_rope_flat(q, cos, sin, hd).reshape(B, T, n_q, hd)
+        k = apply_rope_flat(k, cos, sin, hd).reshape(B, T, n_kv, hd)
+    else:
+        q = q.reshape(B, T, n_q, hd)
+        k = k.reshape(B, T, n_kv, hd)
+        if bp.attn.q_norm is not None:
+            # QK-Norm (qwen3): per-head RMSNorm over head_dim before RoPE
+            from mixq_tpu.models.layers import rmsnorm
+
+            q = rmsnorm(q, bp.attn.q_norm, eps=cfg.rms_norm_eps)
+            k = rmsnorm(k, bp.attn.k_norm, eps=cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rotary_dim)
+        k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rotary_dim)
 
     if _os.environ.get("MIXQ_ABLATE_ATTN", "0") == "1" and n_q == n_kv:
         # DIAGNOSTIC ONLY (per-op accounting, PROFILE_r04): replace the

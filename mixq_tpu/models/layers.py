@@ -164,6 +164,55 @@ def apply_rope(
     return out
 
 
+def apply_rope_flat(
+    x: jax.Array,               # [B, T, n_heads * D] — the raw projection
+    cos: jax.Array,             # [T, D/2] or [B, T, D/2]
+    sin: jax.Array,
+    head_dim: int,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Rotate-half ('neox') rope applied on the FLAT projection output,
+    without reshaping the activation to per-head [B, T, n, D] form.
+
+    Why this exists: at the B=512 decode headline the q/k GEMM emits
+    [B, n*D] in (B-sublane, lane) tiling; reshaping to per-head form
+    before rope makes XLA relayout the 8MB tensor into a (B, D)-tile
+    domain for rope and again into the (head, D)-tile domain for the
+    cache/scores — 2 layout copies per projection per layer, ~1GB/step
+    of pure copy traffic (the ~3.8ms 'glue' slice of PROFILE_r04 §3.3).
+    Formulated flat, rope is elementwise over the GEMM's own layout:
+    for channel n = h*D + j,
+        out[n] = x[n] * C[n] + partner(x)[n] * S[n]
+        C[n] = cos[j mod D/2]
+        S[n] = -sin[j] if j < D/2 else sin[j - D/2]
+        partner(n) = h*D + (j + D/2) mod D
+    partner is a roll of D/2 within each D-lane block — with D a
+    multiple of the 128-lane tile this is an in-tile lane rotation, and
+    XLA fuses the reshape-roll-reshape into the surrounding loop fusion
+    instead of materializing a per-head relayout. Bit-identical to
+    apply_rope(style='neox') in f32 (same multiply/add operand values;
+    a-b == a+(-b) in IEEE).
+    """
+    D = head_dim
+    *lead, N = x.shape
+    xf = x.astype(compute_dtype)
+    c = cos.astype(compute_dtype)
+    s = sin.astype(compute_dtype)
+    # per-channel coefficient vectors over one head: [..., D]
+    c_d = jnp.concatenate([c, c], axis=-1)
+    s_d = jnp.concatenate([-s, s], axis=-1)
+    # broadcast over heads then flatten — small tensors ([T, D] or
+    # [B, T, D]); the broadcast+reshape fuses as index arithmetic
+    h = N // D
+    c_full = jnp.broadcast_to(c_d[..., None, :], (*c_d.shape[:-1], h, D))
+    s_full = jnp.broadcast_to(s_d[..., None, :], (*s_d.shape[:-1], h, D))
+    c_full = c_full.reshape(*c_d.shape[:-1], N)
+    s_full = s_full.reshape(*s_d.shape[:-1], N)
+    partner = jnp.roll(xf.reshape(*lead, h, D), D // 2, axis=-1)
+    partner = partner.reshape(*lead, N)
+    return (xf * c_full + partner * s_full).astype(x.dtype)
+
+
 def alibi_slopes(n_heads: int) -> jax.Array:
     """Per-head ALiBi slopes (the train-short-test-long additive bias;
     reference consumes them baked into Baichuan-13B's additive attention_mask,

@@ -146,6 +146,43 @@ class TestArchVariants:
         assert logits.shape == (2, 4, cfg.vocab_size)
         assert not np.any(np.isnan(np.asarray(logits)))
 
+    def test_flat_rope_matches_per_head(self):
+        """apply_rope_flat (the layout-copy-free decode formulation,
+        PROFILE_r04 §3.3 glue fix) is bit-identical to apply_rope in f32:
+        same multiply/add operand values, a-b == a+(-b) in IEEE."""
+        from mixq_tpu.models.layers import (
+            apply_rope, apply_rope_flat, rope_cos_sin)
+
+        key = jax.random.PRNGKey(3)
+        for B, T, h, d in [(4, 1, 8, 64), (2, 5, 3, 32), (1, 1, 32, 128)]:
+            x = jax.random.normal(key, (B, T, h * d), jnp.float32)
+            # shared positions [T, d/2] and per-row positions [B, T, d/2]
+            for pos in (jnp.arange(T), jnp.arange(B * T).reshape(B, T)):
+                cos, sin = rope_cos_sin(pos, d)
+                ref = apply_rope(
+                    x.reshape(B, T, h, d), cos, sin, "neox")
+                got = apply_rope_flat(x, cos, sin, d)
+                np.testing.assert_array_equal(
+                    np.asarray(got.reshape(B, T, h, d)), np.asarray(ref))
+
+    def test_flat_rope_forward_parity(self, monkeypatch):
+        """Full forward is identical with the flat-rope path on and off
+        (the bench A/B knob must not change tokens)."""
+        from mixq_tpu.models.decoder import forward as raw_forward
+
+        params, cfg, specs = make_model()
+        tokens = jnp.asarray([[3, 1, 4, 1], [5, 9, 2, 6]], jnp.int32)
+        out = {}
+        for knob in ("0", "1"):
+            monkeypatch.setenv("MIXQ_ROPE_FLAT", knob)
+            # fresh jit per knob: the env var is read at trace time, so a
+            # shared jit cache would silently reuse one trace for both
+            f = jax.jit(raw_forward, static_argnames=("specs", "cfg"))
+            out[knob], _ = f(params, tokens, new_cache(cfg, 2),
+                             specs=specs, cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(out["1"]),
+                                      np.asarray(out["0"]))
+
     def test_gptj_rope_partial_rotary(self):
         cfg = ModelConfig.tiny(
             rope_style="gptj", rotary_dim=8, layernorm="layernorm",
