@@ -96,12 +96,22 @@ def main():
     # device time. BENCH_WINDOW_R: decode steps per window dispatch.
     use_async = os.environ.get("BENCH_ASYNC", "0") == "1"
     window_r = int(os.environ.get("BENCH_WINDOW_R", "0"))
+    # BENCH_FOLD_FLUSH=0: run the tail flush as its own dispatch instead
+    # of folding it into the window program (EngineConfig.fold_flush —
+    # the folded scatter+flash layout conflict costs a whole-cache
+    # relayout temp that OOMs pools past 128 slots)
+    fold_flush = os.environ.get("BENCH_FOLD_FLUSH", "1") == "1"
+    # BENCH_SPEC_NOISE: per-draft-token corruption probability (the
+    # acceptance-cost-curve instrument, EngineConfig.spec_draft_noise —
+    # acceptance ~= 1 - noise with the markov substrate's full coverage)
+    spec_noise = float(os.environ.get("BENCH_SPEC_NOISE", "0"))
     eng = ContinuousBatchingEngine(
         params, cfg, specs,
         EngineConfig(max_batch_size=n_slots, max_seq_len=max_seq,
                      prefill_chunk=32, kv_dtype=kv, spec_k=spec_k,
                      spec_ngram=spec_ngram, window_r=window_r,
-                     async_windows=use_async))
+                     async_windows=use_async, fold_flush=fold_flush,
+                     spec_draft_noise=spec_noise))
     print(f"init {time.time()-t0:.1f}s slots={n_slots} kv={kv} attn={attn} "
           f"hm={eng.cache.head_major}", file=sys.stderr)
     if os.environ.get("BENCH_WARMUP", "0") == "1":

@@ -219,9 +219,10 @@ class EngineConfig:
     # drafts, engine/speculative.py): spec_k > 1 makes every CB decode
     # step a T=spec_k verify forward — greedy rows draft from their own
     # history and accept the matching prefix (bit-identical to plain
-    # greedy), sampled rows ride along emitting one token. Requires a
-    # batch-major cache (attn_impl "xla"/"xla_int8"; "auto" resolves
-    # batch-major when spec_k > 1) and no sliding window.
+    # greedy), sampled rows ride along emitting one token. Works on
+    # batch-major caches (direct span scatter) AND on the head-major
+    # flash per-row-tail pools (verify tokens stage in the tail window
+    # and the kernel's tail attend covers them); no sliding window.
     spec_k: int = 0
     spec_ngram: int = 3
     # device spec window: with device_decode_loop, chain spec_window_r
@@ -240,6 +241,29 @@ class EngineConfig:
     spec_min_gain: float = 1.15
     spec_probe_len: int = 2
     spec_probe_every: int = 16
+    # MEASUREMENT INSTRUMENT (acceptance-cost curve, PROFILE_r05): corrupt
+    # each drafted token with this probability inside the device spec
+    # window, so per-token acceptance is ~(1 - noise) regardless of
+    # substrate. A corrupted draft token still rides the verify forward
+    # and stages KV — exactly the cost a real mis-draft pays — and the
+    # model's own argmax rejects it. 0.0 (default) = off; output is then
+    # bit-identical to plain greedy as always. With noise > 0 the tokens
+    # EMITTED are still the model's own argmax continuations (correctness
+    # preserved); only draft agreement — and therefore speculation's
+    # speed — changes.
+    spec_draft_noise: float = 0.0
+    # fold the end-of-window tail flush into the window program (one
+    # dispatch) vs run it as the separately-jitted _flush program after
+    # the window returns. Folding creates a layout conflict inside the
+    # combined program: the flush scatter wants a transposed cache
+    # operand while the flash custom call needs the default layout, and
+    # XLA materializes a WHOLE-CACHE relayout copy (3.0G cache_v temp at
+    # 192 slots x 128 — the r5 capacity-OOM, campaign_r05a.log).
+    # Unfolded, the donated-param aliasing of jit(_flush) pins default
+    # layouts and the scatter transposes the small tail updates instead.
+    # The extra dispatch carries no fetch, so under async windows it
+    # pipelines into the stream.
+    fold_flush: bool = True
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -174,13 +174,14 @@ class ContinuousBatchingEngine:
             specs_.attn_impl, mc, self.max_seq,
             jnp.dtype(self.ecfg.kv_dtype).itemsize)
         if self.ecfg.spec_k > 1:
-            # speculative verify is a T=k mid-sequence slot write — the
-            # head-major flash layout and per-row ring wraps don't serve
-            # it (KVCache.update_layer_slots)
-            if specs_.attn_impl == "flash":
-                raise ValueError(
-                    'spec_k > 1 needs a batch-major cache: use attn_impl '
-                    '"xla"/"xla_int8"/"auto" (not "flash")')
+            # speculative verify is a T=k mid-sequence slot write.
+            # Batch-major caches take it as a direct span scatter;
+            # head-major (flash) pools stage the k verify tokens in the
+            # per-row tail window and the kernel's tail attend covers
+            # them (KVCache._update_tail_slots / decoder.attend_over) —
+            # so speculation composes with the int8-flash serving
+            # default (VERDICT r4 item 3). Per-row ring wraps and the
+            # stacked scan body still don't serve it.
             if mc.sliding_window is not None:
                 raise ValueError(
                     "spec_k > 1 does not support sliding-window models")
@@ -188,10 +189,18 @@ class ContinuousBatchingEngine:
                 raise ValueError(
                     "spec_k > 1 needs per-layer params (the stacked scan "
                     "body's slot write is T=1-shaped)")
-            hm = False
         from mixq_tpu.ops.pallas.flash_decode import DEFAULT_TAIL_R
 
         self._window_r = self.ecfg.window_r or DEFAULT_TAIL_R
+        # tail window depth: plain windows stage <= R tokens per row per
+        # dispatch; a spec window's R rounds stage up to spec_k each
+        # (all-accept worst case), so the tail must hold
+        # spec_window_r * spec_k before the end-of-window flush
+        tail_r = self._window_r
+        if self.ecfg.spec_k > 1:
+            tail_r = max(tail_r,
+                         self.ecfg.spec_window_r * self.ecfg.spec_k,
+                         self.ecfg.spec_k)
         self.cache = KVCache.create(
             mc.num_hidden_layers, self.n_slots, self.max_seq,
             mc.num_key_value_heads, mc.head_dim_,
@@ -199,7 +208,7 @@ class ContinuousBatchingEngine:
             head_major=hm,
             # per-row staged windows: decode never scatters into the big
             # cache; step() flushes every R steps (layers.py KVCache)
-            tail_r=self._window_r if hm else 0, per_row_tail=True)
+            tail_r=tail_r if hm else 0, per_row_tail=True)
         if mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
 
@@ -628,6 +637,11 @@ class ContinuousBatchingEngine:
         active = self.sched.active_slots()
         if not active:
             return 0
+        if self.cache.k_tail is not None and self._steps_since_flush:
+            # plain steps staged tokens since the last flush; reset the
+            # window so the verify span (k tokens/row) is sure to fit
+            self.cache = self._flush(self.cache, jnp.asarray(self.lengths))
+            self._steps_since_flush = 0
 
         feed = np.zeros((self.n_slots, k), np.int32)
         feed[:, 0] = self.cur_tokens
@@ -693,6 +707,11 @@ class ContinuousBatchingEngine:
                     break
             if not finished:
                 self._drafter.append(slot, kept)
+        if self.cache.k_tail is not None:
+            # the verify staged k tokens per row; flush with the UPDATED
+            # host lengths so accepted tokens land under tail_base and
+            # rejected slots are stale-masked — occupancy resets to 0
+            self.cache = self._flush(self.cache, jnp.asarray(self.lengths))
         return len(active)
 
     def _get_spec_window(self):
@@ -714,6 +733,7 @@ class ContinuousBatchingEngine:
         k = self.ecfg.spec_k
         n = self.ecfg.spec_ngram
         R = self.ecfg.spec_window_r
+        noise = float(self.ecfg.spec_draft_noise)
         S = self.max_seq
         H = self._hist_np.shape[1]
         nb = self.n_slots
@@ -723,16 +743,41 @@ class ContinuousBatchingEngine:
         def spec_window(params, cur_tokens, cache, lengths, hist, hlen,
                         active, key, temp, topk, topp):
             greedy = temp <= 0.0
+            # tail-staged (flash) pools: verify steps mutate ONLY the 4
+            # tail arrays, so the scan carries just the tails and closes
+            # over the main cache (the r4 boundary-copy lesson —
+            # _get_window's comment); the tail is sized
+            # spec_window_r * spec_k so all R rounds' spans fit before
+            # the end-of-window flush
+            staged = cache.k_tail is not None
 
             def one(c, _):
-                cur, cache, lengths, hist, hlen, key = c
+                if staged:
+                    cur, tails, lengths, hist, hlen, key = c
+                    cache_s = cache._replace(
+                        k_tail=tails[0], v_tail=tails[1],
+                        kt_scale=tails[2], vt_scale=tails[3])
+                else:
+                    cur, cache_s, lengths, hist, hlen, key = c
                 key, sub = jax.random.split(key)
                 draft, dlen = propose_ngram_device(hist, hlen, n, k - 1)
                 dlen = jnp.where(greedy & active, dlen, 0)
+                if noise > 0.0:
+                    # acceptance-curve instrument (EngineConfig.
+                    # spec_draft_noise): corrupt drafted tokens with
+                    # prob `noise` — they still ride the verify forward
+                    # and stage KV (the true mis-draft cost), and the
+                    # model's argmax rejects them, so per-token
+                    # acceptance ~= 1 - noise. Emitted tokens stay the
+                    # model's own continuations (bit-identical output).
+                    key, nk = jax.random.split(key)
+                    flip = jax.random.bernoulli(nk, noise, draft.shape)
+                    draft = jnp.where(flip, (draft + 1) % mc.vocab_size,
+                                      draft)
                 feed = jnp.concatenate([cur[:, None], draft], axis=1)
-                logits, cache = forward(params, feed, cache, specs_, mc,
-                                        slot_lengths=lengths,
-                                        decode_mesh=mesh)
+                logits, cache_s = forward(params, feed, cache_s, specs_,
+                                          mc, slot_lengths=lengths,
+                                          decode_mesh=mesh)
                 preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 lsm = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
                 plp = jnp.take_along_axis(
@@ -761,13 +806,25 @@ class ContinuousBatchingEngine:
                 hlen = jnp.minimum(hlen + e, H)
                 # clamp: the NEXT verify writes k KV rows at lengths..+k-1
                 lengths = jnp.minimum(lengths + e, S - k)
-                return ((cur, cache, lengths, hist, hlen, key),
+                cc = ((cache_s.k_tail, cache_s.v_tail, cache_s.kt_scale,
+                       cache_s.vt_scale) if staged else cache_s)
+                return ((cur, cc, lengths, hist, hlen, key),
                         (emitted, elp, e, dlen))
 
-            carry = (cur_tokens, cache, lengths, hist, hlen, key)
-            (cur, cache, lengths, hist, hlen, key), \
+            init = ((cache.k_tail, cache.v_tail, cache.kt_scale,
+                     cache.vt_scale) if staged else cache)
+            carry = (cur_tokens, init, lengths, hist, hlen, key)
+            (cur, cc, lengths, hist, hlen, key), \
                 (toks, lps, cnts, dlens) = jax.lax.scan(
                     one, carry, None, length=R)
+            if staged:
+                cache = cache._replace(
+                    k_tail=cc[0], v_tail=cc[1],
+                    kt_scale=cc[2], vt_scale=cc[3])
+                if self.ecfg.fold_flush:
+                    cache = cache.flush_tail(lengths)
+            else:
+                cache = cc
             return toks, lps, cnts, dlens, cache, hist, hlen
 
         self._windows["spec_window"] = (spec_window, R)
@@ -838,6 +895,12 @@ class ContinuousBatchingEngine:
                         self.finish_slot(slot)
                         running.discard(slot)
                         break
+        if not self.ecfg.fold_flush and self.cache.k_tail is not None:
+            # unfolded flush (see EngineConfig.fold_flush): host lengths
+            # are exact for continuing slots; EOS'd slots' overhang
+            # flushes as stale-masked garbage and the slot is reset on
+            # reuse
+            self.cache = self._flush(self.cache, jnp.asarray(self.lengths))
         return len(active)
 
     def _resync_hist(self) -> None:
@@ -901,8 +964,10 @@ class ContinuousBatchingEngine:
         if fn is not None:
             return fn
         specs_, mc = self.specs, self.cfg
-        R = (self.cache.k_tail.shape[1] if self.cache.k_tail is not None
-             else self._window_r)
+        # R = window length (steps per dispatch). Tail pools size their
+        # window depth >= R (spec pools size it spec_window_r * spec_k,
+        # larger than the plain R), so a window never overflows the tail.
+        R = self._window_r
         S = self.max_seq
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -951,7 +1016,8 @@ class ContinuousBatchingEngine:
                 cache = cache._replace(
                     k_tail=carry[0], v_tail=carry[1],
                     kt_scale=carry[2], vt_scale=carry[3])
-                cache = cache.flush_tail(lengths)
+                if self.ecfg.fold_flush:
+                    cache = cache.flush_tail(lengths)
             else:
                 cache = carry
             return toks, lps, cache       # toks/lps [R, B]
@@ -993,6 +1059,10 @@ class ContinuousBatchingEngine:
         self._process_window_rec(
             (toks, lps, list(active),
              {s: self._slot_req.get(s) for s in active}), eos_token_id)
+        if not self.ecfg.fold_flush and self.cache.k_tail is not None:
+            # unfolded flush (EngineConfig.fold_flush): post-processing
+            # host lengths are exact for every continuing slot
+            self.cache = self._flush(self.cache, jnp.asarray(self.lengths))
         return len(active)
 
     def step_window_async(self, sampling: SamplingParams = SamplingParams(),
@@ -1048,6 +1118,12 @@ class ContinuousBatchingEngine:
             jnp.asarray(use_ov), self.cache, jnp.asarray(active_np), sub,
             *self._sampling_arrays(sampling))
         self._async_carry = (ntok, nlen)
+        if not self.ecfg.fold_flush and self.cache.k_tail is not None:
+            # unfolded flush with the DEVICE post-window lengths (host
+            # lengths are one window stale in async mode); the dispatch
+            # carries no fetch, so it pipelines behind the in-flight
+            # window
+            self.cache = self._flush(self.cache, nlen)
         self._async_overrides.clear()
         prev, self._async_inflight = self._async_inflight, (
             toks, lps, list(active),
@@ -1120,8 +1196,10 @@ class ContinuousBatchingEngine:
         if fn is not None:
             return fn
         specs_, mc = self.specs, self.cfg
-        R = (self.cache.k_tail.shape[1] if self.cache.k_tail is not None
-             else self._window_r)
+        # R = window length (steps per dispatch). Tail pools size their
+        # window depth >= R (spec pools size it spec_window_r * spec_k,
+        # larger than the plain R), so a window never overflows the tail.
+        R = self._window_r
         S = self.max_seq
 
         @functools.partial(jax.jit, donate_argnums=(6,))
@@ -1163,7 +1241,8 @@ class ContinuousBatchingEngine:
                 cache = cache._replace(
                     k_tail=carry[0], v_tail=carry[1],
                     kt_scale=carry[2], vt_scale=carry[3])
-                cache = cache.flush_tail(lengths)
+                if self.ecfg.fold_flush:
+                    cache = cache.flush_tail(lengths)
             else:
                 cache = carry
             return toks, lps, tok, lengths, cache

@@ -373,13 +373,21 @@ def forward(
     if slot_lengths is not None:
         if T > 1:
             # speculative-verify step: row b's T tokens sit at positions
-            # slot_lengths[b] .. +T-1 (batch-major caches only — see
-            # KVCache.update_layer_slots; the stacked scan body's slot
-            # write is T=1-shaped)
-            if cache.head_major or params.stacked is not None:
+            # slot_lengths[b] .. +T-1. Supported on batch-major caches
+            # (direct span scatter, KVCache.update_layer_slots) and on
+            # head-major PER-ROW-TAIL pools (the serving default: all T
+            # tokens stage in the row's tail window and the flash
+            # kernel's tail attend covers them — attend_over's verify
+            # branch). The stacked scan body's slot write is T=1-shaped.
+            verify_tail_ok = (cache.k_tail is not None
+                              and cache.tail_base is not None
+                              and cache.tail_base.ndim == 1)
+            if params.stacked is not None or (
+                    cache.head_major and not verify_tail_ok):
                 raise NotImplementedError(
-                    "T>1 slot mode (speculative verify) needs a "
-                    "batch-major cache and the python-loop runtime")
+                    "T>1 slot mode (speculative verify) needs the "
+                    "python-loop runtime and a batch-major cache or a "
+                    "per-row-tail (head-major flash) pool")
         q_slot = (slot_lengths[:, None]
                   + jnp.arange(T, dtype=jnp.int32)[None])      # [B, T]
         rope_pos = q_slot
@@ -494,9 +502,12 @@ def forward(
             "slot-mode decode on a tail-staged cache needs per-row windows: "
             "create the pool cache with per_row_tail=True")
     # during a tail-staged decode step, the kernel reads
-    # main[0:tail_base) + tail[0:kv_len - tail_base)  (per-row in slot mode)
+    # main[0:tail_base) + tail[0:kv_len - tail_base)  (per-row in slot
+    # mode; for T>1 verify steps this is the count AFTER staging all T
+    # tokens — the per-query causal prefix is taken in attend_over)
     tail_count = (kv_len - cache.tail_base
-                  if use_tail and T == 1 else None)
+                  if use_tail and (T == 1 or slot_lengths is not None)
+                  else None)
     # sliding-window decode on the head-major cache: the kernel's per-row
     # start offset IS the window (attend() convention: keep positions
     # >= q_pos - W + 1 = kv_len - W for the T=1 query)
@@ -558,6 +569,41 @@ def forward(
                     interpret=jax.default_backend() != "tpu",
                     mesh=decode_mesh)
                 return out[:, None]
+            if slot_lengths is not None:
+                # speculative-verify step over a POPULATED per-row-tail
+                # pool (VERDICT r4 item 3 — the spec x flash
+                # composition): all T tokens were staged into the row's
+                # tail window before attending, so query t attends
+                # main[0:tail_base) + tail[0:(slot_lengths-tail_base)+t+1).
+                # One kernel call per verify token: at acceptance a, a
+                # dispatch emits ~a*T tokens for T cache reads — the
+                # per-token KV traffic matches plain decode, and the
+                # dispatch/RTT saving is the speculation win.
+                from mixq_tpu.ops.pallas.flash_decode import (
+                    flash_decode_sharded)
+
+                k5, v5, ks5, vs5, li, kt5, vt5, kts5, vts5 = (
+                    full)
+                outs = []
+                for t in range(T_):
+                    if cfg.sliding_window is not None:
+                        ws = jnp.maximum(
+                            jnp.asarray(slot_lengths + t + 1, jnp.int32)
+                            - cfg.sliding_window, 0)
+                        start_t = (ws if kv_start is None
+                                   else jnp.maximum(kv_start, ws))
+                    else:
+                        start_t = flash_start
+                    outs.append(flash_decode_sharded(
+                        q[:, t], k5, v5, cache.tail_base, ks5, vs5,
+                        kv_start=start_t, layer=li,
+                        k_tail=kt5, v_tail=vt5,
+                        kt_scale=kts5, vt_scale=vts5,
+                        tail_lens=tail_count - (T_ - 1 - t),
+                        alibi_slopes=alibi,
+                        interpret=jax.default_backend() != "tpu",
+                        mesh=decode_mesh))
+                return jnp.stack(outs, axis=1)
             # prefill chunk on a FRESH cache (the engine guarantees
             # length==0 at entry): attention over the chunk's own fp k/v ==
             # attention over the cache — no transposed cache read needed

@@ -464,23 +464,32 @@ class KVCache:
     def _update_tail_slots(self, layer: int, k_new, v_new,
                            slot_lengths) -> "KVCache":
         """Slot-mode (continuous batching) decode write into the tail:
-        each row stages its token at its own window slot
-        (slot_lengths[b] - tail_base[b]) % R — a small scatter into the
-        tail buffer instead of the whole-array-pass scatter into main."""
+        each row stages its token(s) at its own window slot(s)
+        (slot_lengths[b] - tail_base[b] + t) % R — a small scatter into
+        the tail buffer instead of the whole-array-pass scatter into
+        main.
+
+        T > 1 (speculative-verify steps, VERDICT r4 item 3): row b's T
+        tokens stage at consecutive window slots; the flash kernel's
+        tail attend covers them with per-query tail_lens (see
+        decoder.attend_over's verify branch). The engine must flush
+        before a verify span would overflow the window (occupancy + T
+        <= R) — the % R wrap otherwise overwrites older staged slots."""
         R = self.k_tail.shape[1]
-        B = k_new.shape[0]
-        rows = jnp.arange(B)
-        slots = (slot_lengths - self.tail_base) % R
+        B, T = k_new.shape[0], k_new.shape[1]
+        rows = jnp.arange(B)[:, None]                       # [B, 1]
+        slots = ((slot_lengths[:, None] - self.tail_base[:, None]
+                  + jnp.arange(T, dtype=jnp.int32)[None]) % R)   # [B, T]
 
         if self.quantized:
-            qk, sk = Q.quantize_kv(k_new[:, 0])   # [B, n_kv, hd], [B, n_kv]
-            qv, sv = Q.quantize_kv(v_new[:, 0])
+            qk, sk = Q.quantize_kv(k_new)   # [B, T, n_kv, hd], [B, T, n_kv]
+            qv, sv = Q.quantize_kv(v_new)
         else:
-            qk, qv = k_new[:, 0], v_new[:, 0]
+            qk, qv = k_new, v_new
             sk = sv = None
 
         # tail [L, R, B, h, d]: adjacent advanced indices (slots, rows)
-        # keep their place -> value shape [B, h, d]
+        # keep their place -> value shape [B, T, h, d]
         t_at = lambda buf, val: buf.at[layer, slots, rows].set(
             val.astype(buf.dtype))
         out = self._replace(k_tail=t_at(self.k_tail, qk),
@@ -562,7 +571,10 @@ class KVCache:
         Batch-major caches only (the head-major flash layout's T>1 path
         serves fresh-cache prefill, and ring wrap points are per-row)."""
         T = k_new.shape[1]
-        if self.k_tail is not None and T == 1 and not ring:
+        if self.k_tail is not None and not ring:
+            # T == 1: plain decode staging; T > 1: speculative-verify
+            # staging (all T tokens land in the row's window — the
+            # engine flushes beforehand so occupancy + T <= R)
             return self._update_tail_slots(layer, k_new, v_new, slot_lengths)
         B = k_new.shape[0]
         rows = jnp.arange(B)
@@ -570,7 +582,8 @@ class KVCache:
             if self.head_major or ring:
                 raise NotImplementedError(
                     "T>1 slot-mode KV writes (speculative verify) need a "
-                    "batch-major, non-ring cache")
+                    "batch-major non-ring cache, or a tail-staged "
+                    "(per-row window) pool")
             pos = slot_lengths[:, None] + jnp.arange(T,
                                                      dtype=jnp.int32)[None]
             kv_at = lambda buf, val: buf.at[layer, rows[:, None], pos].set(

@@ -34,8 +34,8 @@ def make_engine(model, async_windows, n_slots=2, window_r=0, **kw):
 
 
 def run_engine(model, async_windows, prompts=PROMPTS, new=11, eos=None,
-               n_slots=2, window_r=0):
-    eng = make_engine(model, async_windows, n_slots, window_r)
+               n_slots=2, window_r=0, **kw):
+    eng = make_engine(model, async_windows, n_slots, window_r, **kw)
     ids = [eng.add_request(p, new) for p in prompts]
     out = eng.run_to_completion(eos_token_id=eos)
     return [out[r] for r in ids]
@@ -148,6 +148,33 @@ class TestAsyncWindow:
                **eng2.run_to_completion(eos_token_id=eos)}
         assert [out[r] for r in ids] == ref
         assert out[ids[0]][-1] == eos and len(out[ids[0]]) <= 11
+
+    def test_unfolded_flush_bit_identical(self, model):
+        """fold_flush=False (separate flush dispatch — the layout-
+        conflict capacity fix, EngineConfig.fold_flush) must not change
+        tokens in either window mode. Uses a flash/tail pool (int8 KV)
+        because only tail-staged pools have a flush at all."""
+        import dataclasses
+
+        params, cfg, specs = model
+        specs_f = dataclasses.replace(specs, attn_impl="flash")
+
+        def run(async_windows, fold):
+            eng = ContinuousBatchingEngine(
+                params, cfg, specs_f,
+                EngineConfig(max_batch_size=3, max_seq_len=64,
+                             prefill_chunk=8, kv_dtype="int8",
+                             async_windows=async_windows,
+                             fold_flush=fold))
+            assert eng.cache.k_tail is not None
+            ids = [eng.add_request(p, 11) for p in PROMPTS]
+            out = eng.run_to_completion()
+            return [out[r] for r in ids]
+
+        ref = run(False, True)
+        assert run(False, False) == ref
+        assert run(True, False) == ref
+        assert run(True, True) == ref
 
     def test_empty_queue_noop(self, model):
         eng = make_engine(model, async_windows=True)

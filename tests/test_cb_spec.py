@@ -25,8 +25,13 @@ def model():
     return params, cfg, DecoderSpecs.fp16()
 
 
-def make_engine(model, spec_k=0, n_slots=3, max_seq=96, kv="bfloat16"):
+def make_engine(model, spec_k=0, n_slots=3, max_seq=96, kv="bfloat16",
+                attn="auto"):
+    import dataclasses
+
     params, cfg, specs = model
+    if attn != "auto":
+        specs = dataclasses.replace(specs, attn_impl=attn)
     return ContinuousBatchingEngine(
         params, cfg, specs,
         EngineConfig(max_batch_size=n_slots, max_seq_len=max_seq,
@@ -295,6 +300,46 @@ class TestDeviceSpecWindow:
         got = run(4)
         assert got == ref
 
+    def test_draft_noise_instrument(self, model):
+        """spec_draft_noise (the acceptance-curve instrument): output
+        stays bit-identical to plain greedy at any noise level — only
+        draft agreement (and speculation's speed) changes — and heavy
+        noise measurably kills acceptance."""
+        import dataclasses
+
+        params, cfg, specs = model
+        budgets = [20, 16, 12]
+
+        def run(noise):
+            eng = ContinuousBatchingEngine(
+                params, cfg, specs,
+                dataclasses.replace(
+                    EngineConfig(max_batch_size=3, max_seq_len=96,
+                                 prefill_chunk=8, spec_k=4),
+                    spec_draft_noise=noise))
+            ids = [eng.add_request(p, b)
+                   for p, b in zip(PROMPTS, budgets)]
+            out = {}
+            steps = 0
+            while eng.has_work:
+                eng.step_spec_window()
+                out.update(eng.finished())
+                steps += 1
+                assert steps < 200
+            st = eng.spec_stats
+            rate = st["accepted"] / max(st["drafted"], 1)
+            return [out[r] for r in ids], rate
+
+        clean, rate0 = run(0.0)
+        noisy, rate9 = run(0.9)
+        eng_ref = make_engine(model, spec_k=0)
+        ids = [eng_ref.add_request(p, b)
+               for p, b in zip(PROMPTS, budgets)]
+        ref = eng_ref.run_to_completion()
+        assert clean == [ref[r] for r in ids]
+        assert noisy == clean
+        assert rate9 < rate0, (rate9, rate0)
+
     def test_sampled_rows_in_window(self, model):
         """Heterogeneous window: greedy rows unperturbed by a sampled
         neighbor, sampled row emits its full budget."""
@@ -470,18 +515,135 @@ class TestNativeDrafter:
                             slot, n, k), (hist, ext, n, k)
 
 
-class TestSpecGuards:
-    def test_flash_impl_rejected(self, model):
-        params, cfg, specs = model
+class TestSpecFlashPool:
+    """Speculation on the SERVING DEFAULT pool (attn_impl='flash',
+    head-major per-row-tail cache, int8 KV): T=spec_k verify tokens
+    stage in the row's tail window and the flash kernel's tail attend
+    covers them per-query (VERDICT r4 item 3 — before r5 the two
+    serving wins, flash-int8 windows and device speculation, were
+    mutually exclusive). Reference composes flash_attn with its
+    quantized linears unconditionally (modules/fused/attn.py:256)."""
+
+    @pytest.mark.parametrize("kv", ["bfloat16", "int8"])
+    def test_spec_window_bit_identical_on_flash(self, model, kv):
+        """Device spec window on a flash pool == plain greedy on the
+        SAME flash pool (same attend numerics), tokens and logprobs."""
+        budgets = [20, 16, 12]
+
+        eng_ref = make_engine(model, spec_k=0, kv=kv, attn="flash")
+        assert eng_ref.cache.head_major and eng_ref.cache.k_tail is not None
+        ids_r = [eng_ref.add_request(p, b) for p, b in zip(PROMPTS, budgets)]
+        recs_r = {}
+        while eng_ref.has_work:
+            eng_ref.step_window()
+            recs_r.update(eng_ref.finished_records())
+
+        eng_s = make_engine(model, spec_k=4, kv=kv, attn="flash")
+        assert eng_s.cache.head_major and eng_s.cache.k_tail is not None
+        assert eng_s.cache.k_tail.shape[1] >= \
+            eng_s.ecfg.spec_window_r * eng_s.ecfg.spec_k
+        ids_s = [eng_s.add_request(p, b) for p, b in zip(PROMPTS, budgets)]
+        recs_s = {}
+        steps = 0
+        while eng_s.has_work:
+            eng_s.step_spec_window()
+            recs_s.update(eng_s.finished_records())
+            steps += 1
+            assert steps < 100
+        for rr, rs in zip(ids_r, ids_s):
+            assert recs_s[rs]["tokens"] == recs_r[rr]["tokens"]
+            np.testing.assert_allclose(recs_s[rs]["logprobs"],
+                                       recs_r[rr]["logprobs"],
+                                       rtol=1e-4, atol=1e-5)
+        assert eng_s.spec_stats["accepted"] > 0, \
+            "device drafter never accepted on the flash pool"
+
+    def test_spec_flash_unfolded_flush(self, model):
+        """spec windows on the flash pool with fold_flush=False (the
+        capacity-fix flush mode) stay bit-identical."""
         import dataclasses
 
+        params, cfg, specs = model
         specs_f = dataclasses.replace(specs, attn_impl="flash")
-        with pytest.raises(ValueError, match="batch-major"):
-            ContinuousBatchingEngine(
-                params, cfg, specs_f,
-                EngineConfig(max_batch_size=2, max_seq_len=64,
-                             prefill_chunk=8, spec_k=4))
 
+        def run(spec_k, fold):
+            eng = ContinuousBatchingEngine(
+                params, cfg, specs_f,
+                EngineConfig(max_batch_size=3, max_seq_len=96,
+                             prefill_chunk=8, kv_dtype="int8",
+                             spec_k=spec_k, fold_flush=fold))
+            ids = [eng.add_request(p, b)
+                   for p, b in zip(PROMPTS, [18, 14, 10])]
+            out = {}
+            steps = 0
+            while eng.has_work:
+                eng.step_spec_window() if spec_k else eng.step_window()
+                out.update(eng.finished())
+                steps += 1
+                assert steps < 100
+            return [out[r] for r in ids]
+
+        ref = run(0, True)
+        assert run(4, False) == ref
+        assert run(0, False) == ref
+
+    def test_host_loop_spec_on_flash(self, model):
+        """step_spec (one verify per dispatch + host accept) flushes the
+        tail every call — bit-identical to plain on the flash pool."""
+        eng_ref = make_engine(model, spec_k=0, kv="int8", attn="flash")
+        r = eng_ref.add_request(PROMPTS[0], 18)
+        ref = eng_ref.run_to_completion()[r]
+
+        eng = make_engine(model, spec_k=4, kv="int8", attn="flash")
+        rid = eng.add_request(PROMPTS[0], 18)
+        out = {}
+        steps = 0
+        while eng.has_work:
+            eng.step_spec()
+            out.update(eng.finished())
+            steps += 1
+            assert steps < 100
+        assert out[rid] == ref
+
+    def test_flash_spec_churn(self, model):
+        """Slot reuse under speculation on the flash pool: the freed
+        slot's tail window must reset cleanly on re-admission."""
+        import random
+
+        rng = random.Random(23)
+        prompts = []
+        for _ in range(7):
+            base = [rng.randrange(1, 250) for _ in range(rng.randint(2, 5))]
+            prompts.append((base * 3)[:rng.randint(3, 12)])
+        budgets = [rng.randint(1, 12) for _ in prompts]
+
+        def run(spec_k):
+            eng = make_engine(model, spec_k=spec_k, n_slots=3, kv="int8",
+                              attn="flash")
+            ids, results = [], {}
+            pending = list(zip(prompts, budgets))
+            steps = 0
+            while pending or eng.has_work:
+                if pending and rng.random() < 0.6:
+                    p, b = pending.pop(0)
+                    ids.append(eng.add_request(p, b))
+                if spec_k > 1:
+                    eng.step_spec_window()
+                else:
+                    eng.step_window()
+                results.update(eng.finished())
+                steps += 1
+                assert steps < 800
+            return [results[r] for r in ids]
+
+        rng_state = rng.getstate()
+        ref = run(0)
+        rng.setstate(rng_state)
+        got = run(4)
+        assert got == ref
+
+
+class TestSpecGuards:
     def test_sliding_window_rejected(self):
         cfg = ModelConfig.tiny(sliding_window=16)
         params = init_decoder_params(jax.random.PRNGKey(0), cfg)
