@@ -263,8 +263,19 @@ def block_core(
     if flat_rope:
         from mixq_tpu.models.layers import apply_rope_flat
 
-        q = apply_rope_flat(q, cos, sin, hd).reshape(B, T, n_q, hd)
-        k = apply_rope_flat(k, cos, sin, hd).reshape(B, T, n_kv, hd)
+        # MIXQ_ROPE_COMPUTE=bfloat16: rotate in bf16 so the GEMM
+        # epilogue's bf16 output survives into the rope fusion (the
+        # default f32 rope re-upcasts, and XLA's excess-precision pass
+        # then elides the epilogue's bf16 round — every q/k layout copy
+        # moves f32 bytes instead of bf16). Numerics priced by the PPL
+        # gate before any default flip.
+        rope_cd = (jnp.bfloat16
+                   if _os.environ.get("MIXQ_ROPE_COMPUTE", "f32")
+                   == "bfloat16" else jnp.float32)
+        q = apply_rope_flat(q, cos, sin, hd,
+                            compute_dtype=rope_cd).reshape(B, T, n_q, hd)
+        k = apply_rope_flat(k, cos, sin, hd,
+                            compute_dtype=rope_cd).reshape(B, T, n_kv, hd)
     else:
         q = q.reshape(B, T, n_q, hd)
         k = k.reshape(B, T, n_kv, hd)
@@ -284,12 +295,25 @@ def block_core(
         # against the real step is attention's true in-model cost — the
         # only per-op instrument that works through the relay (isolated
         # chains read 0.0ms; CLAUDE.md).
-        attn_raw = (q + 0.0009765625 * (k + v)).reshape(B, T, n_q * hd)
+        attn4 = q + 0.0009765625 * (k + v)
     else:
-        attn_raw = kv_apply(q, k, v).reshape(B, T, n_q * hd)
+        attn4 = kv_apply(q, k, v)
     # o_proj quantizes its own input inline (the reference's unfused=True
-    # call, attn.py:263 -> linear.py:187-195)
-    attn_out = mixed_linear(bp.attn.wo, attn_raw, specs.wo)
+    # call, attn.py:263 -> linear.py:187-195). MIXQ_WO_QUANT_4D=1:
+    # quantize BEFORE the [B,T,h,d]->[B,T,N] flatten so the layout copy
+    # into the GEMM's operand tiling moves int8, not f32 (glue attack,
+    # PROFILE_r04 §3.3) — bit-identical either way.
+    if (_os.environ.get("MIXQ_WO_QUANT_4D", "0") == "1"
+            and specs.wo.version == "MIX" and specs.wo.w_bit < 16):
+        from mixq_tpu.ops.mixed_linear import prepare_act_from_heads
+
+        act_wo = prepare_act_from_heads(attn4, bp.attn.wo, specs.wo)
+        attn_raw = (attn4.reshape(B, T, n_q * hd) if collect_stats
+                    else None)
+        attn_out = mixed_linear_prepared(bp.attn.wo, act_wo, specs.wo)
+    else:
+        attn_raw = attn4.reshape(B, T, n_q * hd)
+        attn_out = mixed_linear(bp.attn.wo, attn_raw, specs.wo)
     if bp.post_attn_norm_scale is not None:   # gemma2 pre-residual norm
         attn_out = _norm(attn_out, bp.post_attn_norm_scale, None, cfg)
 

@@ -157,6 +157,39 @@ def prepare_act(
     return QuantizedAct(q_x, x_scale, x_out)
 
 
+def prepare_act_from_heads(
+    x4: jax.Array, params: MixLinearParams, spec: LinearSpec
+) -> QuantizedAct:
+    """prepare_act for the attention output BEFORE its [B, T, h, d] ->
+    [B, T, N] flatten: absmax + quantize run in the attend's own
+    (head, d) tile domain, so the layout copy to the o_proj GEMM's
+    operand tiling moves the INT8 result (2MB at the B=512 headline)
+    instead of the f32 activation (8MB) — one of the per-layer glue
+    copies of PROFILE_r04 §3.3. Numerically identical to
+    prepare_act(x4.reshape(..., N)): the token absmax is over all h*d
+    channels either way, and the elementwise quantize commutes with the
+    reshape. Gated by MIXQ_WO_QUANT_4D until measured in-model."""
+    B, T, h, d = x4.shape
+    N = h * d
+    oset = params.outlier_set
+    if oset is not None:
+        # flat channel index n = h_i * d + d_i; gather the few outlier
+        # columns through a flat VIEW (reads only `budget` columns) and
+        # mask inliers elementwise in the 4d domain
+        x_out = jnp.take(x4.reshape(B, T, N), oset.ind, axis=-1)
+        x_out = x_out * oset.mask.astype(x_out.dtype)
+        x_in = x4 * oset.k_mask.reshape(h, d).astype(x4.dtype)
+    else:
+        x_out, x_in = None, x4
+    qmax = 127.0 if min(spec.a_bit, 8) == 8 else 7.0
+    absmax = jnp.max(jnp.abs(x_in.astype(jnp.float32)), axis=(-2, -1))
+    x_scale = jnp.maximum(absmax / qmax, 1e-8)[..., None, None]
+    q4 = jnp.clip(jnp.round(x_in.astype(jnp.float32) / x_scale),
+                  -qmax, qmax).astype(jnp.int8)
+    return QuantizedAct(q4.reshape(B, T, N), x_scale[..., 0, 0][..., None],
+                        x_out)
+
+
 # ---------------------------------------------------------------------------
 # Forward paths
 # ---------------------------------------------------------------------------
@@ -173,8 +206,12 @@ def mixed_linear_prepared(
         # bandwidth win the XLA path forfeits (unpack materializes a
         # [K, N] int8 copy, and the relay cannot move jnp.int4 buffers).
         # mixlib.int4FusedDequantize[Silu] equivalent (linear.py:259).
-        # Grouped [G, N] scales ride the same kernel (bf16-dot dequant
-        # prologue — q_group_size parity without unpacking in HBM).
+        # Grouped [G, N] scales ride the same kernel through its
+        # G-batched int8 MXU dot (mix_gemm._grouped_int8_dot — the
+        # activation is pre-shaped [G, M, gs] outside the kernel and the
+        # unpacked weight block reshapes [G, gs, bn]); the bf16
+        # weight-dequant prologue is only the W4A16 weight-only mode
+        # (int8 activations never pay its measured 27% VPU cost).
         from mixq_tpu.ops.pallas.mix_gemm import mix_gemm
 
         lead = act.q_x.shape[:-1]

@@ -220,6 +220,35 @@ class TestQuantizedDecoder:
         tv = 0.5 * float(jnp.max(jnp.sum(jnp.abs(pf - pq), axis=-1)))
         assert tv < 0.12, f"total variation too large: {tv}"
 
+    def test_wo_quant_4d_parity(self, monkeypatch):
+        """MIXQ_WO_QUANT_4D (quantize the attention output in its
+        [B,T,h,d] tile domain before the flatten — glue-copy attack,
+        PROFILE_r04 §3.3) is bit-identical to the flat path, including
+        the outlier gather through the flat view."""
+        import numpy as np
+
+        from mixq_tpu.config import QuantConfig
+        from mixq_tpu.models.decoder import forward as raw_forward
+        from mixq_tpu.quantize import quantize_model
+        from mixq_tpu.utils.testing import DictSource, random_hf_state
+
+        cfg = ModelConfig.tiny()
+        state = random_hf_state(cfg, seed=3, outlier_channels=(5, 17, 30))
+        qparams, qspecs = quantize_model(
+            DictSource(state), cfg, QuantConfig.w8a8(outlier_budget=8),
+            calib_batches=[np.random.RandomState(0).randint(
+                1, cfg.vocab_size, (2, 16))])
+        assert qparams.blocks[0].attn.wo.outlier_set is not None
+        tokens = jnp.asarray([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]], jnp.int32)
+        out = {}
+        for knob in ("0", "1"):
+            monkeypatch.setenv("MIXQ_WO_QUANT_4D", knob)
+            f = jax.jit(raw_forward, static_argnames=("specs", "cfg"))
+            out[knob], _ = f(qparams, tokens, new_cache(cfg, 2),
+                             specs=qspecs, cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(out["1"]),
+                                      np.asarray(out["0"]))
+
     def test_jit_forward(self):
         params, cfg, specs = make_model()
         f = jax.jit(lambda p, t, c: forward(p, t, c, specs, cfg))

@@ -99,10 +99,12 @@ class TestKernelParity:
 class TestGroupedScales:
     """Per-group [G, N] weight scales through the kernel (the q_group_size
     parity gap that kept MIXQ_W4_PACKED off by default — PROFILE_r03 §4).
-    The kernel folds group scales into a bf16 weight-dequant prologue, so
-    parity vs the exact int-accumulate reference carries the scale-multiply's
-    bf16 rounding (measured <=0.3% of max|y|; negligible next to the ~6%
-    4-bit weight quantization error itself)."""
+    int8 activations take the G-batched int8 MXU dot
+    (mix_gemm._grouped_int8_dot — bit-exact vs the int-accumulate
+    reference and measured at per-channel speed, BENCH_AB r4); only the
+    W4A16 weight-only mode folds group scales into a bf16 weight-dequant
+    prologue, whose scale-multiply rounding is <=0.3% of max|y| —
+    negligible next to the ~6% 4-bit weight quantization error itself."""
 
     @staticmethod
     def _assert_close(got, ref, bound=1e-2):
