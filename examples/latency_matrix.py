@@ -17,8 +17,15 @@ subtracted a constant. This harness makes the split measurable:
     is an upper bound on device tail; with static shapes the honest claim
     is device tail ~ 0 and the whole spread is transport).
 
-Writes LATENCY_R04.csv. Env: LAT_CONFIGS="B:S:kv:attn,...", LAT_R (8),
-LAT_WINDOWS (40), LAT_LAYERS (32).
+Writes LATENCY_R04.csv. Env: LAT_CONFIGS="B:S:kv:attn[:mode],...", LAT_R
+(8), LAT_WINDOWS (40), LAT_LAYERS (32). The optional 5th field selects an
+ENGINE-mode row: "asyncN" (lag-1 step_window_async with window_r=N — the
+shipped capacity mode) or "specN" (device spec window, spec_k=N). Engine
+rows drive a full ContinuousBatchingEngine pool (slots=B) with every slot
+occupied and report the same wall percentiles per dispatch; their device
+window cost is the matching plain row's (identical program shape), and
+async completion latency adds exactly one window of lag by construction
+(completions observed one window late — test_async_window.py).
 
 Reference scaffold being replaced: benchlatency.py's per-step-sync design
 (reference benchlatency.py, 302 lines) — meaningless through a relay that
@@ -90,6 +97,70 @@ def build(B, S, kv, attn):
     return params, window, cache0
 
 
+def engine_mode_row(spec, B, S, kv, attn, mode):
+    """Per-dispatch wall latency of an ENGINE window mode (async / spec)
+    on a fully-occupied CB pool. Device window cost is the matching
+    plain row's (same program shape); this row measures the dispatch
+    cadence the serving loop actually experiences in that mode."""
+    import dataclasses
+    import random
+
+    from mixq_tpu.config import EngineConfig
+    from mixq_tpu.engine.batching import ContinuousBatchingEngine
+
+    cfg = llama2_7b_cfg(L)
+    dspecs = dataclasses.replace(
+        DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8)), attn_impl=attn)
+    params = jax.device_put(init_decoder_params(
+        jax.random.PRNGKey(0), cfg, dspecs, dtype=jnp.bfloat16))
+    jax.block_until_ready(params)
+
+    is_async = mode.startswith("async")
+    is_spec = mode.startswith("spec")
+    num = int(mode[5 if is_async else 4:] or 0) if (is_async or is_spec) \
+        else 0
+    ecfg = EngineConfig(
+        max_batch_size=B, max_seq_len=S, prefill_chunk=32, kv_dtype=kv,
+        window_r=num if is_async else 0,
+        async_windows=is_async, spec_k=num if is_spec else 0,
+        fold_flush=os.environ.get("LAT_FOLD_FLUSH", "1") == "1")
+    eng = ContinuousBatchingEngine(params, cfg, dspecs, ecfg)
+    rng = random.Random(0)
+    # fill every slot with a budget long enough to stay active through
+    # the whole measurement (windows * R tokens each)
+    budget = (N_WIN + 4) * max(num, 8) * (ecfg.spec_k or 1)
+    for _ in range(B):
+        eng.add_request([rng.randrange(2, 60) for _ in range(8)],
+                        min(budget, S - 16))
+    step = (eng.step_window_async if is_async
+            else eng.step_spec_window if is_spec else eng.step_window)
+    t0 = time.time()
+    step()                                   # compile + first dispatch
+    compile_s = time.time() - t0
+    print(f"# {spec}: first window {compile_s:.0f}s", file=sys.stderr,
+          flush=True)
+    walls = []
+    for _ in range(N_WIN):
+        t0 = time.time()
+        step()
+        walls.append((time.time() - t0) * 1e3)
+    walls = np.asarray(walls)
+    r_eff = num if num else R
+    return {
+        "config": spec, "B": B, "S": S, "kv": kv, "attn": attn, "R": r_eff,
+        "device_ms_per_window": "",       # see the matching plain row
+        "device_ms_per_step": "",
+        "device_tokens_per_s": "",
+        "wall_p50_ms": round(float(np.percentile(walls, 50)), 2),
+        "wall_p90_ms": round(float(np.percentile(walls, 90)), 2),
+        "wall_p99_ms": round(float(np.percentile(walls, 99)), 2),
+        "transport_p50_ms": "",
+        "transport_spread_p99_p50_ms": round(
+            float(np.percentile(walls, 99) - np.percentile(walls, 50)), 2),
+        "n_windows": N_WIN,
+    }
+
+
 def main():
     if len(CONFIGS) > 1 and os.environ.get("LAT_SUBPROC", "1") == "1":
         # one config per PROCESS: HBM holds ~9GB of params+cache per 7B
@@ -125,8 +196,20 @@ def main():
 
     rows = []
     for spec in CONFIGS:
-        B, S, kv, attn = spec.split(":")
+        parts = spec.split(":")
+        B, S, kv, attn = parts[:4]
         B, S = int(B), int(S)
+        mode = parts[4] if len(parts) > 4 else ""
+        if mode:
+            try:
+                row = engine_mode_row(spec, B, S, kv, attn, mode)
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+            except Exception as e:                         # noqa: BLE001
+                print(json.dumps({"config": spec,
+                                  "error": f"{type(e).__name__}: {e}"[:200]}),
+                      flush=True)
+            continue
         t0 = time.time()
         try:
             params, window, cache = build(B, S, kv, attn)
