@@ -264,6 +264,14 @@ class EngineConfig:
     # The extra dispatch carries no fetch, so under async windows it
     # pipelines into the stream.
     fold_flush: bool = True
+    # pipeline-parallel serving: >1 routes every engine forward through
+    # parallel/pipeline.py::pipeline_forward over a 'pipe' mesh axis
+    # (stage-stacked params, GPipe microbatching, batch-major cache).
+    # Scope mirrors pipeline_forward's: uniform dense specs, bf16/int8
+    # KV, no sliding-window/ALiBi, no speculation, attn_impl resolves
+    # batch-major (the PP serving story — VERDICT r4 item 7; TP+DP stay
+    # the first-choice strategy, PARITY.md).
+    pipe_stages: int = 0
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -46,14 +46,57 @@ class ContinuousBatchingEngine:
         and the slot cache shards batch/heads; the serving loop is unchanged
         (GSPMD partitions the compiled steps)."""
         self.mesh = mesh
-        if mesh is not None:
-            from mixq_tpu.parallel.sharding import shard_decoder_params
+        self.ecfg = engine_cfg or EngineConfig()
+        self._pp = self.ecfg.pipe_stages > 1
+        if self._pp:
+            # pipeline-parallel serving (EngineConfig.pipe_stages): every
+            # engine program's forward is pipeline_forward over `mesh`'s
+            # 'pipe' axis. Params are stage-stacked + placed per stage;
+            # the cache stays batch-major (pipeline_forward's scope), so
+            # attn resolves to the XLA path and windows carry the full
+            # cache — the measured cost of serving batch-major is the PP
+            # serving trade (PROFILE_r05).
+            from mixq_tpu.parallel.pipeline import (pipeline_forward,
+                                                    shard_stage_params,
+                                                    stage_params)
 
-            params = shard_decoder_params(params, mesh)
+            if mesh is None or "pipe" not in mesh.axis_names:
+                raise ValueError(
+                    "pipe_stages > 1 needs a mesh with a 'pipe' axis")
+            if self.ecfg.spec_k > 1:
+                raise ValueError("pipeline serving does not support "
+                                 "speculation (spec_k > 1)")
+            if model_cfg.sliding_window is not None or model_cfg.alibi:
+                raise ValueError("pipeline serving: sliding-window/ALiBi "
+                                 "models stay on the TP engine")
+            params = shard_stage_params(
+                stage_params(params, self.ecfg.pipe_stages), mesh,
+                axis="pipe")
+
+            def _pp_fwd(p, tokens, cache, specs_, mc, slot_lengths=None,
+                        decode_mesh=None, kv_start=None):
+                assert kv_start is None
+                import math
+
+                # microbatch count must divide the (static) batch: small
+                # prefill buckets (k < n_stages) still pipeline, with
+                # proportionally more bubble
+                M = math.gcd(tokens.shape[0], self.ecfg.pipe_stages)
+                return pipeline_forward(p, tokens, cache, specs_, mc,
+                                        mesh=mesh, axis="pipe",
+                                        microbatches=M,
+                                        slot_lengths=slot_lengths)
+
+            self._fwd = _pp_fwd
+        else:
+            if mesh is not None:
+                from mixq_tpu.parallel.sharding import shard_decoder_params
+
+                params = shard_decoder_params(params, mesh)
+            self._fwd = forward
         self.params = params
         self.cfg = model_cfg
         self.specs = specs
-        self.ecfg = engine_cfg or EngineConfig()
         self.n_slots = self.ecfg.max_batch_size
         self.max_seq = self.ecfg.max_seq_len
         # spec engines reserve spec_k-1 trailing cache slots: a T=k verify
@@ -66,12 +109,13 @@ class ContinuousBatchingEngine:
                                     prefer_native_scheduler)
 
         mc, specs_ = model_cfg, specs
+        fwd = self._fwd
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(params, tokens, cache, slot_lengths):
-            logits, cache = forward(params, tokens, cache, specs_, mc,
-                                    slot_lengths=slot_lengths,
-                                    decode_mesh=mesh)
+            logits, cache = fwd(params, tokens, cache, specs_, mc,
+                                slot_lengths=slot_lengths,
+                                decode_mesh=mesh)
             return logits[:, -1, :], cache
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -83,7 +127,7 @@ class ContinuousBatchingEngine:
             # lm_head GEMM alive (2.1 GB + 134 GFLOP at k=64 Tp=256 7B,
             # the bulk of the slots=64 compile-OOM; VERDICT r3 item 2).
             # Dropping the output lets XLA DCE the whole readout.
-            _, cache = forward(params, tokens, cache, specs_, mc)
+            _, cache = fwd(params, tokens, cache, specs_, mc)
             return cache
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -136,9 +180,9 @@ class ContinuousBatchingEngine:
             (the greedy rows' acceptance material) and the position-0
             per-slot sample (what a plain decode step would emit — so
             sampled rows ride the same program)."""
-            logits, cache = forward(params, tokens, cache, specs_, mc,
-                                    slot_lengths=slot_lengths,
-                                    decode_mesh=mesh)
+            logits, cache = fwd(params, tokens, cache, specs_, mc,
+                                slot_lengths=slot_lengths,
+                                decode_mesh=mesh)
             preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,k]
             lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             pred_lp = jnp.take_along_axis(
@@ -173,6 +217,8 @@ class ContinuousBatchingEngine:
         hm = use_head_major_cache(
             specs_.attn_impl, mc, self.max_seq,
             jnp.dtype(self.ecfg.kv_dtype).itemsize)
+        if self._pp:
+            hm = False      # pipeline_forward's scope is batch-major
         if self.ecfg.spec_k > 1:
             # speculative verify is a T=k mid-sequence slot write.
             # Batch-major caches take it as a direct span scatter;
@@ -209,7 +255,19 @@ class ContinuousBatchingEngine:
             # per-row staged windows: decode never scatters into the big
             # cache; step() flushes every R steps (layers.py KVCache)
             tail_r=tail_r if hm else 0, per_row_tail=True)
-        if mesh is not None:
+        if mesh is not None and self._pp:
+            # each stage holds only its own layers' KV (leaf dim 0 = L)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            put = lambda a: jax.device_put(
+                a, NamedSharding(mesh, P("pipe")))
+            self.cache = self.cache._replace(
+                k=put(self.cache.k), v=put(self.cache.v),
+                k_scale=(put(self.cache.k_scale)
+                         if self.cache.quantized else self.cache.k_scale),
+                v_scale=(put(self.cache.v_scale)
+                         if self.cache.quantized else self.cache.v_scale))
+        elif mesh is not None:
             from mixq_tpu.parallel.sharding import shard_kv_cache
 
             self.cache = shard_kv_cache(self.cache, mesh)
@@ -775,9 +833,9 @@ class ContinuousBatchingEngine:
                     draft = jnp.where(flip, (draft + 1) % mc.vocab_size,
                                       draft)
                 feed = jnp.concatenate([cur[:, None], draft], axis=1)
-                logits, cache_s = forward(params, feed, cache_s, specs_,
-                                          mc, slot_lengths=lengths,
-                                          decode_mesh=mesh)
+                logits, cache_s = self._fwd(params, feed, cache_s, specs_,
+                                            mc, slot_lengths=lengths,
+                                            decode_mesh=mesh)
                 preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 lsm = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
                 plp = jnp.take_along_axis(
@@ -993,9 +1051,10 @@ class ContinuousBatchingEngine:
                 else:
                     tok, cache_s, lengths, key = c
                 key, sub = jax.random.split(key)
-                logits, cache_s = forward(params, tok[:, None], cache_s,
-                                          specs_, mc, slot_lengths=lengths,
-                                          decode_mesh=self.mesh)
+                logits, cache_s = self._fwd(params, tok[:, None], cache_s,
+                                            specs_, mc,
+                                            slot_lengths=lengths,
+                                            decode_mesh=self.mesh)
                 last = logits[:, -1, :]
                 t2 = sample_per_slot(last, sub, temp, topk, topp)
                 lp2 = chosen_logprob(last, t2)
@@ -1220,9 +1279,10 @@ class ContinuousBatchingEngine:
                 else:
                     tok, cache_s, lengths, key = c
                 key, sub = jax.random.split(key)
-                logits, cache_s = forward(params, tok[:, None], cache_s,
-                                          specs_, mc, slot_lengths=lengths,
-                                          decode_mesh=self.mesh)
+                logits, cache_s = self._fwd(params, tok[:, None], cache_s,
+                                            specs_, mc,
+                                            slot_lengths=lengths,
+                                            decode_mesh=self.mesh)
                 last = logits[:, -1, :]
                 t2 = sample_per_slot(last, sub, temp, topk, topp)
                 lp2 = chosen_logprob(last, t2)

@@ -87,10 +87,16 @@ def pipeline_forward(
     mesh: Mesh,
     axis: str = "pipe",
     microbatches: Optional[int] = None,
+    slot_lengths=None,           # [B] — per-row positions (continuous
+                                 # batching): KV writes scatter per row
+                                 # and cache.length is ignored (the
+                                 # decoder.forward slot-mode contract;
+                                 # gives PP a serving story — r5 item 7)
 ) -> Tuple[jax.Array, object]:
     """Pipelined decoder forward: same (logits, cache) contract as
-    models.decoder.forward for the supported scope (fresh prefill chunk
-    or T=1 decode on a batch-major bf16 cache).
+    models.decoder.forward for the supported scope (fresh prefill chunk,
+    uniform T>=1 continuation, or slot-mode decode on a batch-major
+    bf16/int8-KV cache).
 
     Differentially tested against the single-device forward
     (tests/test_pipeline.py) on the virtual mesh.
@@ -121,8 +127,14 @@ def pipeline_forward(
         jnp.dtype(specs.wqkv.out_dtype))
     if cfg.embed_multiplier != 1.0:
         x = x * jnp.asarray(cfg.embed_multiplier, x.dtype)
-    q_slot = cache.length + jnp.arange(T, dtype=jnp.int32)
-    kv_len = cache.length + T
+    slot_mode = slot_lengths is not None
+    if slot_mode:
+        q_slot = (slot_lengths[:, None]
+                  + jnp.arange(T, dtype=jnp.int32)[None])     # [B, T]
+        kv_len = slot_lengths + T                             # [B]
+    else:
+        q_slot = cache.length + jnp.arange(T, dtype=jnp.int32)
+        kv_len = cache.length + T
     rot = cfg.rotary_dim or cfg.head_dim_
     cos, sin = rope_cos_sin(q_slot, rot, cfg.rope_theta)
     x_mb = x.reshape(M, b, T, H)
@@ -135,7 +147,17 @@ def pipeline_forward(
     k_pad, v_pad = pad_sink(cache.k), pad_sink(cache.v)
     write_pos = cache.length
 
-    def stage_fn(blocks, x_mb, cos, sin, write_pos, k_all, v_all,
+    if slot_mode:
+        # per-microbatch views of the per-row state; each stage picks its
+        # current microbatch's slice per tick
+        qsl_in = q_slot.reshape(M, b, T)
+        kvl_in = kv_len.reshape(M, b)
+        cos_in = cos.reshape(M, b, *cos.shape[1:])
+        sin_in = sin.reshape(M, b, *sin.shape[1:])
+    else:
+        qsl_in, kvl_in, cos_in, sin_in = q_slot, kv_len, cos, sin
+
+    def stage_fn(blocks, x_mb, cos, sin, qsl, kvl, write_pos, k_all, v_all,
                  *scale_bufs):
         # int8 KV rides two extra [L, B+b, S, n_kv] scale carriers
         ks_all, vs_all = scale_bufs if quantized else (None, None)
@@ -147,8 +169,20 @@ def pipeline_forward(
         for t in range(M + ns - 1):          # static schedule
             mb = t - s                       # this tick's microbatch here
             valid = (mb >= 0) & (mb < M)
-            off = jnp.where(valid, jnp.clip(mb, 0, M - 1) * b, M * b)
+            mbc = jnp.clip(mb, 0, M - 1)
+            off = jnp.where(valid, mbc * b, M * b)
             h = jnp.where(s == 0, x_mb[min(t, M - 1)], state)
+            if slot_mode:
+                # per-row state for THIS tick's microbatch (each stage is
+                # on a different microbatch at a given tick)
+                pick = lambda a: jax.lax.dynamic_index_in_dim(
+                    a, mbc, 0, keepdims=False)
+                cos_t, sin_t = pick(cos), pick(sin)
+                qs_t, kl_t = pick(qsl), pick(kvl)
+                rows = off + jnp.arange(b)
+            else:
+                cos_t, sin_t, qs_t, kl_t = cos, sin, qsl, kvl
+                rows = None
 
             for j in range(lps):
                 bp = jax.tree.map(lambda a: a[0, j], blocks)
@@ -160,18 +194,32 @@ def pipeline_forward(
 
                         k, sk = Q.quantize_kv(k)
                         v, sv = Q.quantize_kv(v)
-                        ks_all = jax.lax.dynamic_update_slice(
-                            ks_all, sk[None].astype(ks_all.dtype),
-                            (j, off, write_pos, 0))
-                        vs_all = jax.lax.dynamic_update_slice(
-                            vs_all, sv[None].astype(vs_all.dtype),
-                            (j, off, write_pos, 0))
-                    k_all = jax.lax.dynamic_update_slice(
-                        k_all, k[None].astype(k_all.dtype),
-                        (j, off, write_pos, 0, 0))
-                    v_all = jax.lax.dynamic_update_slice(
-                        v_all, v[None].astype(v_all.dtype),
-                        (j, off, write_pos, 0, 0))
+                    if slot_mode:
+                        # per-row scatter at each row's own position;
+                        # bubble ticks land in the sink rows (off = M*b)
+                        pos = qs_t                      # [b, T]
+                        kv_at = lambda buf, val: buf.at[
+                            j, rows[:, None], pos].set(
+                            val.astype(buf.dtype), mode="drop")
+                        k_all = kv_at(k_all, k)
+                        v_all = kv_at(v_all, v)
+                        if quantized:
+                            ks_all = kv_at(ks_all, sk)
+                            vs_all = kv_at(vs_all, sv)
+                    else:
+                        if quantized:
+                            ks_all = jax.lax.dynamic_update_slice(
+                                ks_all, sk[None].astype(ks_all.dtype),
+                                (j, off, write_pos, 0))
+                            vs_all = jax.lax.dynamic_update_slice(
+                                vs_all, sv[None].astype(vs_all.dtype),
+                                (j, off, write_pos, 0))
+                        k_all = jax.lax.dynamic_update_slice(
+                            k_all, k[None].astype(k_all.dtype),
+                            (j, off, write_pos, 0, 0))
+                        v_all = jax.lax.dynamic_update_slice(
+                            v_all, v[None].astype(v_all.dtype),
+                            (j, off, write_pos, 0, 0))
                     k_c = jax.lax.dynamic_slice(
                         k_all, (j, off, 0, 0, 0),
                         (1, b, S) + k_all.shape[3:])[0]
@@ -185,12 +233,13 @@ def pipeline_forward(
                         vs_c = jax.lax.dynamic_slice(
                             vs_all, (j, off, 0, 0),
                             (1, b, S, vs_all.shape[3]))[0]
-                        return attend(q, k_c, v_c, q_slot, kv_len,
+                        return attend(q, k_c, v_c, qs_t, kl_t,
                                       k_scale=ks_c, v_scale=vs_c)
                     return attend(q, k_c.astype(q.dtype),
-                                  v_c.astype(q.dtype), q_slot, kv_len)
+                                  v_c.astype(q.dtype), qs_t, kl_t)
 
-                h, _ = block_core(h, bp, kv_apply, cos, sin, specs, cfg)
+                h, _ = block_core(h, bp, kv_apply, cos_t, sin_t, specs,
+                                  cfg)
 
             upd = outs.at[jnp.clip(mb, 0, M - 1)].set(h.astype(outs.dtype))
             outs = jnp.where(valid & (s == ns - 1), upd, outs)
@@ -204,8 +253,9 @@ def pipeline_forward(
             return outs, k_all, v_all, ks_all, vs_all
         return outs, k_all, v_all
 
-    args = [params.stacked, x_mb, cos, sin, write_pos, k_pad, v_pad]
-    in_specs = [P(axis), P(), P(), P(), P(), P(axis), P(axis)]
+    args = [params.stacked, x_mb, cos_in, sin_in, qsl_in, kvl_in,
+            write_pos, k_pad, v_pad]
+    in_specs = [P(axis), P(), P(), P(), P(), P(), P(), P(axis), P(axis)]
     out_specs = [P(), P(axis), P(axis)]
     if quantized:
         args += [pad_sink(cache.k_scale), pad_sink(cache.v_scale)]
@@ -221,7 +271,9 @@ def pipeline_forward(
     else:
         outs, k_new, v_new = res
 
-    cache = cache._replace(k=k_new[:, :B], v=v_new[:, :B]).advance(T)
+    cache = cache._replace(k=k_new[:, :B], v=v_new[:, :B])
+    if not slot_mode:
+        cache = cache.advance(T)
     x = _norm(outs.reshape(B, T, H), params.lnf_scale, params.lnf_bias, cfg)
     head = params.lm_head if params.lm_head is not None else params.embed.T
     hdt = jnp.dtype(specs.wqkv.out_dtype)
