@@ -46,7 +46,11 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import llama2_7b_cfg
+from bench import llama2_7b_cfg as _7b_cfg, tiny_cfg as _tiny_cfg
+
+# LAT_PRESET=tiny: CPU smoke of the harness itself (CI-size model)
+llama2_7b_cfg = (_tiny_cfg if os.environ.get("LAT_PRESET") == "tiny"
+                 else _7b_cfg)
 from mixq_tpu.models import DecoderSpecs, KVCache
 from mixq_tpu.models.decoder import forward, init_decoder_params
 from mixq_tpu.ops.mixed_linear import LinearSpec

@@ -489,13 +489,18 @@ def forward(
         alibi = alibi / jnp.sqrt(jnp.float32(cfg.head_dim_))
 
     head_major = cache.head_major
-    if head_major and (cfg.attn_logit_softcap is not None
-                       or cfg.query_pre_attn_scalar is not None
-                       or cfg.sliding_window_pattern != 1):
+    if (head_major and cfg.sliding_window_pattern != 1
+            and cfg.sliding_window is not None
+            and cache.max_seq > cfg.sliding_window):
+        # softcap + custom scale ride the flash kernel as static params
+        # (r5); only a BINDING alternating window (gemma2 at contexts
+        # beyond its 4096 window) still needs the XLA path, because the
+        # kernel has no per-layer window starts
         raise NotImplementedError(
-            "head-major (flash) KV cache does not support gemma2-style "
-            "attention (softcap / custom scale / alternating windows) — "
-            "create the cache with head_major=False")
+            "head-major (flash) KV cache: alternating-window (gemma2) "
+            "models need max_seq <= sliding_window (the window must "
+            "never bind) — create the cache with head_major=False for "
+            "longer contexts")
     # gemma2 attention variations (all None/default elsewhere)
     attn_scale = (cfg.query_pre_attn_scalar ** -0.5
                   if cfg.query_pre_attn_scalar is not None else None)
@@ -536,7 +541,11 @@ def forward(
     # start offset IS the window (attend() convention: keep positions
     # >= q_pos - W + 1 = kv_len - W for the T=1 query)
     flash_start = kv_start
-    if head_major and cfg.sliding_window is not None and T == 1:
+    if (head_major and cfg.sliding_window is not None and T == 1
+            and cfg.sliding_window_pattern == 1):
+        # uniform-window models only: with an alternating pattern the
+        # head-major cache is restricted to max_seq <= window (above), so
+        # no start offset is ever needed (global layers must NOT window)
         ws = jnp.maximum(
             jnp.asarray(kv_len, jnp.int32) - cfg.sliding_window, 0)
         flash_start = ws if kv_start is None else jnp.maximum(kv_start, ws)
@@ -591,7 +600,8 @@ def forward(
                     tail_lens=tail_count if kt5 is not None else None,
                     alibi_slopes=alibi,
                     interpret=jax.default_backend() != "tpu",
-                    mesh=decode_mesh)
+                    mesh=decode_mesh,
+                    softcap=attn_softcap or 0.0, scale=attn_scale)
                 return out[:, None]
             if slot_lengths is not None:
                 # speculative-verify step over a POPULATED per-row-tail
@@ -626,7 +636,8 @@ def forward(
                         tail_lens=tail_count - (T_ - 1 - t),
                         alibi_slopes=alibi,
                         interpret=jax.default_backend() != "tpu",
-                        mesh=decode_mesh))
+                        mesh=decode_mesh,
+                        softcap=attn_softcap or 0.0, scale=attn_scale))
                 return jnp.stack(outs, axis=1)
             # prefill chunk on a FRESH cache (the engine guarantees
             # length==0 at entry): attention over the chunk's own fp k/v ==
@@ -636,11 +647,13 @@ def forward(
 
                 return attend_chunked(q, k_new, v_new, q_slot, kv_len,
                                       kv_start=kv_start,
-                                      sliding_window=cfg.sliding_window,
-                                      alibi=alibi)
+                                      sliding_window=win, alibi=alibi,
+                                      scale=attn_scale,
+                                      softcap=attn_softcap)
             return attend(q, k_new, v_new, q_slot, kv_len,
                           kv_start=kv_start,
-                          sliding_window=cfg.sliding_window, alibi=alibi)
+                          sliding_window=win, alibi=alibi,
+                          scale=attn_scale, softcap=attn_softcap)
         if T_ > 512:   # long prefill: bound score memory to O(chunk * S)
             from mixq_tpu.models.layers import attend_chunked
 

@@ -182,6 +182,10 @@ def _kernel(
                           # merges the token-major tail OUTSIDE the kernel
                           # (any in-kernel tail relayout measured 0.45-0.53
                           # ms/layer at S=32 B=512 — §PROFILE_r04)
+    softcap: float = 0.0,  # gemma2 attn_logit_softcapping: scores ->
+                          # tanh(scores/cap)*cap BEFORE masks (HF order)
+    scale_mult: float = 0.0,  # override of the 1/sqrt(D) score scale
+                          # (gemma2 query_pre_attn_scalar^-0.5); 0 = default
 ):
     # NOTE measured dead end: aliasing the cache operands through the call
     # (input_output_aliases + pass-through outputs) to spare XLA's buffer
@@ -265,7 +269,7 @@ def _kernel(
 
     S = k_hbm_ref.shape[3]
     D = q_ref.shape[-1]
-    scale = 1.0 / (D ** 0.5)
+    scale = scale_mult if scale_mult else 1.0 / (D ** 0.5)
     pos = lax.broadcasted_iota(jnp.int32, (1, S), 1)
 
     if b_blk > 1:
@@ -329,6 +333,8 @@ def _kernel(
         qk = lax.dot_general(
             q_all, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale      # [nb, g, S]
+    if softcap:
+        qk = jnp.tanh(qk / softcap) * softcap
     qk = qk + bias                     # [1,1,S] or [nb,1,S] — broadcasts
 
     if has_alibi:
@@ -377,6 +383,8 @@ def _kernel(
             ktw.astype(jnp.bfloat16),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
+        if softcap:
+            qk_t = jnp.tanh(qk_t / softcap) * softcap
         tpos = lax.broadcasted_iota(jnp.int32, (1, R), 1)
         qk_t = qk_t + jnp.where(tpos < tail_len, 0.0, MASK_VALUE)[None]
         if alibi_sl is not None:      # tail tokens sit at positions
@@ -428,7 +436,8 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "mode", "h_blk", "b_blk"),
+    static_argnames=("interpret", "mode", "h_blk", "b_blk", "softcap",
+                     "scale"),
 )
 def flash_decode_attention(
     q: jax.Array,                   # [B, n_q, D]
@@ -456,6 +465,9 @@ def flash_decode_attention(
     alibi_slopes: Optional[jax.Array] = None,  # [n_q] f32 per-head ALiBi
                                     # slopes (config-derived)
     b_blk: Optional[int] = None,    # tuning override of the batch-row block
+    softcap: float = 0.0,           # gemma2 logit softcap (static)
+    scale: Optional[float] = None,  # score-scale override (static; gemma2
+                                    # query_pre_attn_scalar^-0.5)
 ):
     """Returns attention output [B, n_q, D] in q.dtype."""
     B, n_q, D = q.shape
@@ -567,7 +579,8 @@ def flash_decode_attention(
         _kernel, batch_size=B // b_blk, h_blk=h_blk, groups=g,
         quantized=quantized, has_tail=has_tail and not tail_outside,
         mode=mode, has_alibi=has_alibi, b_blk=b_blk,
-        emit_ml=tail_outside)
+        emit_ml=tail_outside, softcap=float(softcap or 0.0),
+        scale_mult=float(scale) if scale is not None else 0.0)
 
     if has_tail and not tail_outside:
         R = k_tail.shape[1]
@@ -676,10 +689,12 @@ def flash_decode_attention(
                 kt_scale[layer], (1, 0, 2))[..., None]
             vtf = vtf * jnp.transpose(
                 vt_scale[layer], (1, 0, 2))[..., None]
-        scale = 1.0 / (D ** 0.5)
+        sc = scale if scale is not None else 1.0 / (D ** 0.5)
         scores_t = jnp.einsum(
             "bhd,rbhd->bhr", q.astype(jnp.float32), ktf,
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32) * sc
+        if softcap:
+            scores_t = jnp.tanh(scores_t / softcap) * softcap
         tpos = jnp.arange(R, dtype=jnp.int32)
         scores_t = scores_t + jnp.where(
             tpos[None, None, :] < tail_lens[:, None, None],
@@ -712,6 +727,7 @@ def flash_decode_sharded(
     tail_lens=None, interpret: bool = False, layer=None,
     alibi_slopes=None,
     mesh=None, batch_axis: str = "data", head_axis: str = "model",
+    softcap: float = 0.0, scale=None,
 ):
     """flash_decode_attention under GSPMD meshes: a pallas call is OPAQUE
     to the SPMD partitioner (it would all-gather/replicate the multi-GB
@@ -724,7 +740,8 @@ def flash_decode_sharded(
         flash_decode_attention, q, k, v, lengths, k_scale, v_scale,
         kv_start=kv_start, k_tail=k_tail, v_tail=v_tail,
         kt_scale=kt_scale, vt_scale=vt_scale, tail_lens=tail_lens,
-        interpret=interpret, layer=layer, alibi_slopes=alibi_slopes)
+        interpret=interpret, layer=layer, alibi_slopes=alibi_slopes,
+        softcap=softcap, scale=scale)
     if mesh is None:
         return plain()
     from jax.sharding import PartitionSpec as P
@@ -787,7 +804,7 @@ def flash_decode_sharded(
             q_, k_, v_, len_, ks_, vs_, kv_start=st_,
             k_tail=kt_, v_tail=vt_, kt_scale=kts_, vt_scale=vts_,
             tail_lens=tl_, interpret=interpret, layer=li_,
-            alibi_slopes=al_)
+            alibi_slopes=al_, softcap=softcap, scale=scale)
 
     return jax.shard_map(
         inner, mesh=mesh, in_specs=tuple(specs),
@@ -835,7 +852,18 @@ def use_head_major_cache(attn_impl: str, model_cfg, max_seq: int,
     if (model_cfg.attn_logit_softcap is not None
             or model_cfg.query_pre_attn_scalar is not None
             or model_cfg.sliding_window_pattern != 1):
-        return False      # gemma2-style attention: kernel support pending
+        # gemma2-style attention: the kernel handles softcap and the
+        # custom score scale (static params, r5); alternating windows
+        # are a no-op while max_seq <= sliding_window (serving contexts
+        # vs gemma2's 4096 window). Explicit "flash" opt-in only —
+        # "auto" keeps gemma2 on XLA until measured on hardware.
+        if attn_impl != "flash":
+            return False
+        if (model_cfg.sliding_window_pattern != 1
+                and model_cfg.sliding_window is not None
+                and max_seq > model_cfg.sliding_window):
+            return False  # a binding alternating window needs per-layer
+                          # start offsets the kernel doesn't take yet
     import jax as _jax
 
     on_tpu = _jax.default_backend() == "tpu"

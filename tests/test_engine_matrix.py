@@ -47,10 +47,12 @@ VARIANTS = {
 }
 
 
-# variants the flash kernel serves (no softcap/custom scale/alternating
-# windows/layernorm-bias interplay needed — see use_head_major_cache)
+# variants the flash kernel serves — incl. gemma2 since r5 (softcap +
+# custom score scale as static kernel params; alternating windows are a
+# no-op while max_seq <= sliding_window — see use_head_major_cache)
 FLASH_VARIANTS = ("llama_gqa", "qwen3_qk_norm", "gemma_scaled",
-                  "mistral_window", "alibi", "moe", "longrope")
+                  "gemma2_post_softcap", "mistral_window", "alibi", "moe",
+                  "longrope")
 
 
 @pytest.mark.parametrize("name", FLASH_VARIANTS)
@@ -60,8 +62,13 @@ def test_flash_int8_cb_smoke(name):
     (numerics differ from XLA, so token equality isn't asserted)."""
     over = dict(VARIANTS[name])
     if over.get("sliding_window"):
-        # the kernel's start-offset windowing requires W > tail depth R
-        over["sliding_window"] = 16
+        if over.get("sliding_window_pattern", 1) != 1:
+            # alternating windows (gemma2): head-major needs the window
+            # to never bind -> window >= max_seq
+            over["sliding_window"] = 64
+        else:
+            # the kernel's start-offset windowing requires W > tail depth
+            over["sliding_window"] = 16
     cfg = ModelConfig.tiny(**over)
     specs = dataclasses.replace(
         DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8)),

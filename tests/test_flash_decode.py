@@ -105,6 +105,57 @@ class TestKernelVsAttend:
         np.testing.assert_allclose(np.float32(got), np.float32(ref),
                                    rtol=3e-2, atol=3e-2)
 
+    def test_softcap_and_scale(self):
+        """gemma2 attention variations through the kernel (r5: static
+        softcap + score-scale params) match attend()'s softcap path,
+        including the tail attend."""
+        B, S, D, H, R = 3, 128, 64, 4, 4
+        ks = jax.random.split(jax.random.PRNGKey(11), 5)
+        q = jax.random.normal(ks[0], (B, H, D), jnp.float32) * 3
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.float32)
+        lengths = jnp.asarray([100, 40, 7], jnp.int32)
+        cap, sc = 20.0, 24.0 ** -0.5
+        ref = attend(q[:, None].astype(jnp.bfloat16),
+                     k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                     (lengths - 1)[:, None], lengths,
+                     scale=sc, softcap=cap)[:, 0]
+        got = flash_decode_attention(
+            q.astype(jnp.bfloat16), hm(k.astype(jnp.bfloat16)),
+            hm(v.astype(jnp.bfloat16)), lengths,
+            softcap=cap, scale=sc, **INTERP)
+        np.testing.assert_allclose(np.float32(got), np.float32(ref),
+                                   rtol=3e-2, atol=3e-2)
+
+        # tail-staged variant: last tl tokens live in the token-major tail
+        kt = jax.random.normal(ks[3], (R, B, H, D), jnp.float32)
+        vt = jax.random.normal(ks[4], (R, B, H, D), jnp.float32)
+        tl = jnp.asarray([2, 4, 1], jnp.int32)
+        k_full = jnp.concatenate(
+            [k, jnp.moveaxis(kt, 1, 0)], axis=1)   # [B, S+R, H, D]
+        v_full = jnp.concatenate([v, jnp.moveaxis(vt, 1, 0)], axis=1)
+        # reference: per-row contiguous [0, len) + tail staged right after
+        k_ref = k_full.copy()
+        v_ref = v_full.copy()
+        for b in range(B):
+            ln = int(lengths[b])
+            k_ref = k_ref.at[b, ln:ln + int(tl[b])].set(
+                jnp.moveaxis(kt, 1, 0)[b, :int(tl[b])])
+            v_ref = v_ref.at[b, ln:ln + int(tl[b])].set(
+                jnp.moveaxis(vt, 1, 0)[b, :int(tl[b])])
+        ref_t = attend(q[:, None].astype(jnp.bfloat16),
+                       k_ref.astype(jnp.bfloat16),
+                       v_ref.astype(jnp.bfloat16),
+                       (lengths + tl - 1)[:, None], lengths + tl,
+                       scale=sc, softcap=cap)[:, 0]
+        got_t = flash_decode_attention(
+            q.astype(jnp.bfloat16), hm(k.astype(jnp.bfloat16)),
+            hm(v.astype(jnp.bfloat16)), lengths,
+            k_tail=kt.astype(jnp.bfloat16), v_tail=vt.astype(jnp.bfloat16),
+            tail_lens=tl, softcap=cap, scale=sc, **INTERP)
+        np.testing.assert_allclose(np.float32(got_t), np.float32(ref_t),
+                                   rtol=3e-2, atol=3e-2)
+
     @pytest.mark.parametrize("with_alibi", [False, True])
     def test_tail_with_head_grid_split(self, with_alibi):
         """Tail-staged kernel with the head grid SPLIT (h_blk < n_kv):
