@@ -92,6 +92,7 @@ def main():
             # "flash_win" (sliding window via start offset, W=MB_WIN),
             # or "flash:<mode>" passthrough
             mode, al, start = "full", None, None
+            cap, sc = 0.0, None
             if impl == "flash_dma":
                 mode = "dma"
             elif impl == "flash_alibi":
@@ -100,6 +101,10 @@ def main():
                 al = alibi_slopes(n_q)
             elif impl == "flash_win":
                 start = jnp.full((B,), S - W, jnp.int32)
+            elif impl == "flash_softcap":
+                # gemma2 attention variations (r5): logit softcap 50 +
+                # query_pre_attn_scalar 256 score scale
+                cap, sc = 50.0, 256.0 ** -0.5
             elif ":" in impl:
                 mode = impl.split(":", 1)[1]
 
@@ -135,17 +140,21 @@ def main():
             def f(q, k, v, ks, vs):
                 out = flash_decode_attention(
                     q, k, v, lengths, ks, vs, kv_start=start, mode=mode,
-                    h_blk=h_blk, b_blk=b_blk, alibi_slopes=al, **targs)
+                    h_blk=h_blk, b_blk=b_blk, alibi_slopes=al,
+                    softcap=cap, scale=sc, **targs)
                 return out.astype(jnp.bfloat16)
             return functools.partial(
                 f, k=k_hm, v=v_hm,
                 ks=ks_hm if quantized else None,
                 vs=vs_hm if quantized else None)
-        if impl in ("xla", "xla_int8", "xla_alibi", "xla_win"):
+        if impl in ("xla", "xla_int8", "xla_alibi", "xla_win",
+                    "xla_softcap"):
             from mixq_tpu.models.layers import alibi_slopes
 
             al = alibi_slopes(n_q) if impl == "xla_alibi" else None
             win = W if impl == "xla_win" else None
+            cap = 50.0 if impl == "xla_softcap" else None
+            sc = 256.0 ** -0.5 if impl == "xla_softcap" else None
 
             @jax.jit
             def f(q, k, v, ks, vs):
@@ -153,7 +162,8 @@ def main():
                              jnp.full((1,), S - 1, jnp.int32), lengths,
                              k_scale=ks, v_scale=vs,
                              int8_compute=(impl == "xla_int8"),
-                             alibi=al, sliding_window=win)
+                             alibi=al, sliding_window=win,
+                             scale=sc, softcap=cap)
                 return out[:, 0].astype(jnp.bfloat16)
             return functools.partial(
                 f, k=k_bm, v=v_bm,
