@@ -189,6 +189,12 @@ def main():
             compile_windows += 1
             compile_time += dt
         window += 1
+        if dt > 5.0 or window % 10 == 0:
+            # progress heartbeat: the markov_forced rows died to 3600s
+            # timeouts twice in r4 with NO evidence of where time went
+            # (VERDICT weak #6) — make the next stall attributable
+            print(f"# w{window} {dt:.1f}s active={eng.sched.stats()} "
+                  f"pending={len(pending)}", file=sys.stderr, flush=True)
         for rid, toks in eng.finished().items():
             done_w[rid] = window
             total_tokens += len(toks)

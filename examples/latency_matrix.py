@@ -42,6 +42,11 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+if os.environ.get("LAT_PLATFORM"):
+    # the axon sitecustomize registers the TPU backend in every process
+    # and wins over JAX_PLATFORMS; a CPU smoke must force it here or it
+    # silently contends for the shared chip
+    jax.config.update("jax_platforms", os.environ["LAT_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
