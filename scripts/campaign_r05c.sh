@@ -68,13 +68,21 @@ done
 # — the builder reads the probes and launches the matrix)
 echo "=== gate probes done; see gate7b_probe.log ===" >&2
 
-echo "=== stage 4: latency engine-mode rows (item 5) ===" >&2
+echo "=== stage 4: latency rows (item 5) ===" >&2
+# the two r4 500'd configs + the engine-mode rows (async = the shipped
+# capacity mode, spec = the spec window) in one matrix run
 for attempt in 1 2; do
-  LAT_CONFIGS="32:256:int8:flash:async16,32:256:int8:flash:spec4" \
-  LAT_OUT=LATENCY_R05_ENGINE.csv LAT_WINDOWS=30 \
-    timeout 5400 python examples/latency_matrix.py 2>> "$LOG" && break
-  echo "=== latency engine rows attempt $attempt failed ===" >&2
+  LAT_CONFIGS="128:128:bfloat16:xla,512:32:bfloat16:xla,32:256:int8:flash:async16,32:256:int8:flash:spec4" \
+  LAT_OUT=LATENCY_R05.csv LAT_WINDOWS=30 \
+    timeout 7200 python examples/latency_matrix.py 2>> "$LOG" && break
+  echo "=== latency rows attempt $attempt failed ===" >&2
 done
+
+echo "=== stage 4b: markov_forced control, instrumented (item 4) ===" >&2
+# 4 prior attempts died to timeouts with no evidence (r4 x2, r05a x2);
+# this one has the per-window heartbeat in campaign_r05c.log
+row $SPEC markov_forced 4800 benchserve.py $SPECENV BENCH_ATTN=xla \
+  BENCH_SPEC_K=4 BENCH_SPEC_MODE=window
 
 echo "=== stage 5: grouped-W4 B=32 row (item 8) ===" >&2
 row BENCH_AB_r05.jsonl ab_w4_packed_perchan 2700 bench.py \
