@@ -40,6 +40,20 @@ row $AB ab_wo_quant4d 2700 bench.py MIXQ_ROPE_FLAT=1 MIXQ_WO_QUANT_4D=1
 # all three
 row $AB ab_glue_all 2700 bench.py MIXQ_ROPE_FLAT=1 \
   MIXQ_ROPE_COMPUTE=bfloat16 MIXQ_WO_QUANT_4D=1
+# bf16-KV blocked flash in-model at S=32 (isolated microbench won 0.155
+# vs XLA 0.229 ms/call in r4 but was never run in-model; no quantize
+# staging cost on bf16 — the int8 tail tax may not apply)
+row $AB ab_bf16_flash 2700 bench.py MIXQ_ROPE_FLAT=1 BENCH_ATTN=flash
+
+echo "=== stage 1b: copy census of the flat-rope program ===" >&2
+# compile-only: count the surviving layout copies (PROFILE_r05 §1 table)
+for attempt in 1 2; do
+  PROBE_LAYERS=32 MIXQ_ROPE_FLAT=1 timeout 2400 \
+    python examples/hlo_probe.py bfloat16 512 32 xla >> "$LOG" 2>&1 && break
+done
+grep -E "copy[.0-9]* = " /tmp/hlo_bfloat16_B512_S32_xla_L32.txt \
+  | grep -oE "= [a-z0-9]+\[[0-9,]*\]\{[^}]*\}" | sort | uniq -c \
+  | sort -rn | head -12 > COPY_CENSUS_R05.txt || true
 
 echo "=== stage 2: capacity frontier, unfolded flush ===" >&2
 CAPENV="BENCH_PRESET=7b BENCH_KV=int8 BENCH_ATTN=auto \
