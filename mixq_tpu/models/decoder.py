@@ -254,8 +254,13 @@ def block_core(
     # biggest slice of PROFILE_r04 §3.3's glue). Falls back to the
     # per-head path for partial-rotary / gptj-interleave / QK-norm
     # models. Bit-identical to the per-head path in f32.
+    # MEASURED AND REJECTED as default (BENCH_AB_r05): 13,359 vs 13,724
+    # tok/s at the B=512 headline — the in-tile lane rotation costs more
+    # VPU time than the two relayout copies it removes, and bf16 rope
+    # compounds the loss (12,745). Default OFF; knob kept for the census
+    # evidence (PROFILE_r05 §1).
     flat_rope = (
-        _os.environ.get("MIXQ_ROPE_FLAT", "1") == "1"
+        _os.environ.get("MIXQ_ROPE_FLAT", "0") == "1"
         and cfg.rope_style == "neox"
         and (cfg.rotary_dim is None or cfg.rotary_dim == hd)
         and bp.attn.q_norm is None

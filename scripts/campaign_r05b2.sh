@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-5 campaign, leg B2: unconfounded glue rows. Leg B measured flat
+# rope LOSING in-model (13,359 vs 13,724 control — the in-tile lane
+# rotation costs more than the relayout copies it removes), so its
+# 4D-o_proj-quant and bf16-flash rows (run with MIXQ_ROPE_FLAT=1) are
+# confounded. Re-measure both against the winning flat=0 program.
+set -u
+cd "$(dirname "$0")/.."
+
+LOG=campaign_r05b2.log
+
+row() {
+  local out=$1 tag=$2 tmo=$3 prog=$4; shift 4
+  local line attempt
+  for attempt in 1 2; do
+    line=$(timeout "$tmo" env "$@" python "$prog" 2>> "$LOG" | tail -1)
+    if [ -n "$line" ]; then
+      echo "{\"tag\": \"$tag\", \"attempt\": $attempt, ${line:1}" >> "$out"
+      echo "=== $tag done (attempt $attempt) $(date +%H:%M:%S) ===" >&2
+      return
+    fi
+    echo "=== $tag attempt $attempt failed $(date +%H:%M:%S) ===" >&2
+  done
+  echo "{\"tag\": \"$tag\", \"error\": \"timeout-or-crash-x2\"}" >> "$out"
+}
+
+AB=BENCH_AB_r05.jsonl
+row $AB ab_wo_quant4d_flat0 2700 bench.py MIXQ_ROPE_FLAT=0 \
+  MIXQ_WO_QUANT_4D=1
+row $AB ab_bf16_flash_flat0 2700 bench.py MIXQ_ROPE_FLAT=0 \
+  BENCH_ATTN=flash
+
+echo "=== campaign_r05b2 done $(date +%H:%M:%S) ===" >&2
