@@ -29,5 +29,11 @@ row $AB ab_wo_quant4d_flat0 2700 bench.py MIXQ_ROPE_FLAT=0 \
   MIXQ_WO_QUANT_4D=1
 row $AB ab_bf16_flash_flat0 2700 bench.py MIXQ_ROPE_FLAT=0 \
   BENCH_ATTN=flash
+# ab_glue_all beat the control (13,842 vs 13,724) while each knob alone
+# LOST — either XLA fusion non-additivity or run variance. Repeat both
+# back-to-back to separate the two.
+row $AB ab_glue_all_rpt 2700 bench.py MIXQ_ROPE_FLAT=1 \
+  MIXQ_ROPE_COMPUTE=bfloat16 MIXQ_WO_QUANT_4D=1
+row $AB ab_flatrope_off_rpt 2700 bench.py MIXQ_ROPE_FLAT=0
 
 echo "=== campaign_r05b2 done $(date +%H:%M:%S) ===" >&2
