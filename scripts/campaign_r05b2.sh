@@ -27,8 +27,12 @@ row() {
 AB=BENCH_AB_r05.jsonl
 row $AB ab_wo_quant4d_flat0 2700 bench.py MIXQ_ROPE_FLAT=0 \
   MIXQ_WO_QUANT_4D=1
-row $AB ab_bf16_flash_flat0 2700 bench.py MIXQ_ROPE_FLAT=0 \
-  BENCH_ATTN=flash
+# B=512 bf16-KV flash is OOM-infeasible (16.57G > 15.75G hbm: the bf16
+# head-major cache + tails push the ARGUMENT footprint over —
+# campaign_r05b.log); measure the S=32 bf16-flash question at B=256
+# where it fits (bf16-XLA control: 12,914 tok/s, BENCH_MATRIX r3)
+row $AB ab_bf16_flash_b256 2700 bench.py MIXQ_ROPE_FLAT=0 \
+  BENCH_ATTN=flash BENCH_BATCH=256
 # ab_glue_all beat the control (13,842 vs 13,724) while each knob alone
 # LOST — either XLA fusion non-additivity or run variance. Repeat both
 # back-to-back to separate the two.
