@@ -61,8 +61,19 @@ def main():
     cfg = llama2_7b_cfg(n_layers) if preset == "7b" else tiny_cfg(n_layers)
     import dataclasses
 
-    specs = dataclasses.replace(
-        DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8)), attn_impl=attn)
+    # BENCH_W=4: packed W4 (reference 8-bit-down/o policy, bench.py's
+    # spec block) — halves the weight-argument footprint (~6.7G -> ~3.8G
+    # at 7B), which is what bounds the slot-pool capacity frontier
+    # (PROFILE_r05 §2.1: slots>=192 @128 OOMs on ARGUMENTS, not temps)
+    w_bits = int(os.environ.get("BENCH_W", "8"))
+    if w_bits == 4:
+        from mixq_tpu.config import QuantConfig
+        from mixq_tpu.quantize import resolve_specs
+
+        base_specs = resolve_specs(QuantConfig.w4a4())
+    else:
+        base_specs = DecoderSpecs.uniform(LinearSpec(w_bit=8, a_bit=8))
+    specs = dataclasses.replace(base_specs, attn_impl=attn)
     t0 = time.time()
     # BENCH_SUBSTRATE=markov: a planted-Markov-chain readout at full model
     # shapes (utils/substrate.py) — generations follow deterministic token
@@ -84,7 +95,8 @@ def main():
             mean_cycle=int(os.environ.get("BENCH_MARKOV_CYCLE", "16")),
             share_blocks=True)
         params, qspecs = quantize_model(
-            DictSource(state), cfg, QuantConfig.w8a8())
+            DictSource(state), cfg,
+            QuantConfig.w4a4() if w_bits == 4 else QuantConfig.w8a8())
         del state
         specs = dataclasses.replace(qspecs, attn_impl=attn)
     else:
@@ -221,6 +233,7 @@ def main():
         "wait_windows_p95": float(np.percentile(waits, 95)),
         "compile_windows": compile_windows,
         "slots": n_slots, "kv": kv, "attn": attn, "preset": preset,
+        "w": w_bits,
     }
     if spec_k > 1:
         st = eng.spec_stats
