@@ -31,6 +31,13 @@ import time
 
 import jax
 
+# BENCH_FORCE_CPU=1: run on host CPU. The env's sitecustomize registers
+# the TPU relay backend in EVERY process and overrides JAX_PLATFORMS, so
+# a config.update after import is the only way to keep a smoke run off
+# the (shared, single) chip while a campaign is draining on it.
+if os.environ.get("BENCH_FORCE_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import numpy as np
@@ -126,6 +133,18 @@ def main():
                      spec_draft_noise=spec_noise))
     print(f"init {time.time()-t0:.1f}s slots={n_slots} kv={kv} attn={attn} "
           f"hm={eng.cache.head_major}", file=sys.stderr)
+    if os.environ.get("BENCH_MEMPROBE", "0") == "1":
+        # AOT memory accounting of the serving program set at THIS config
+        # (PROFILE_r05 §2.2): per-program temp/args/out/alias bytes name
+        # the buffer that binds the capacity frontier. Compile-only; one
+        # prefill bucket + one admission group size (the campaign's).
+        burst = int(os.environ.get("BENCH_ARRIVAL_BURST", "0")) or n_slots
+        n = eng.warmup(prompt_buckets=[prompt_max],
+                       group_sizes=[min(burst, n_slots)], analyze=True)
+        print(json.dumps({"metric": "serve_memprobe", "value": n,
+                          "unit": "programs", "slots": n_slots,
+                          "kv": kv, "w": w_bits, "seq": max_seq}))
+        return
     if os.environ.get("BENCH_WARMUP", "0") == "1":
         t0 = time.time()
         n = eng.warmup()

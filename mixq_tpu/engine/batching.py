@@ -520,13 +520,21 @@ class ContinuousBatchingEngine:
         return eng
 
     def warmup(self, prompt_buckets: Optional[Sequence[int]] = None,
-               group_sizes: Optional[Sequence[int]] = None) -> int:
+               group_sizes: Optional[Sequence[int]] = None,
+               analyze: bool = False) -> int:
         """Pre-compile the serving program set — decode step, decode
         window, and the (k, Tp) prefill/insert buckets — so no request
         ever pays a compile (XLA compiles cost minutes at 7B on this
         stack). Returns the number of programs compiled. Defaults:
         prefill-chunk multiples up to max_seq, power-of-two group sizes
-        up to the pool size."""
+        up to the pool size.
+
+        analyze=True prints each program's AOT memory_analysis (temp /
+        argument / output / aliased bytes) to stderr — the capacity-
+        frontier instrument (PROFILE_r05 §2.2): the engine's RESIDENT
+        set is params + pool (shared arguments) + each live program's
+        un-aliased outputs and temps, and runtime ResourceExhausted at
+        large slot counts is diagnosed by summing exactly these."""
         import math
 
         if prompt_buckets is None:
@@ -545,6 +553,24 @@ class ContinuousBatchingEngine:
 
         def aval(shape, dtype):
             return jax.ShapeDtypeStruct(shape, dtype)
+
+        def _c(name, lowered):
+            compiled = lowered.compile()
+            if analyze:
+                import sys as _sys
+                try:
+                    ma = compiled.memory_analysis()
+                    g = 1 / (1 << 30)
+                    print(f"# memprobe {name}: "
+                          f"temp={ma.temp_size_in_bytes * g:.3f}G "
+                          f"args={ma.argument_size_in_bytes * g:.3f}G "
+                          f"out={ma.output_size_in_bytes * g:.3f}G "
+                          f"alias={ma.alias_size_in_bytes * g:.3f}G",
+                          file=_sys.stderr)
+                except Exception as e:  # relay variance: never fail warmup
+                    print(f"# memprobe {name}: unavailable ({e})",
+                          file=_sys.stderr)
+            return compiled
 
         def cache_aval(x):
             # meshed pools serve a COMMITTED sharded cache; lowering with
@@ -569,35 +595,35 @@ class ContinuousBatchingEngine:
                     lambda x: aval(x.shape, x.dtype), small)
                 if (k, Tc, small_seq) not in prefilled:
                     prefilled.add((k, Tc, small_seq))
-                    self._prefill.lower(
+                    _c(f"prefill[k={k},Tc={Tc}]", self._prefill.lower(
                         self.params, aval((k, Tc), jnp.int32),
-                        small_avals).compile()
+                        small_avals))
                     n += 1
                 small = self._cut_small(small, Tp)
                 small_avals = jax.tree.map(
                     lambda x: aval(x.shape, x.dtype), small)
-                self._insert.lower(
+                _c(f"insert[k={k},Tp={Tp}]", self._insert.lower(
                     jax.tree.map(cache_aval, self.cache),
                     small_avals, aval((k,), jnp.int32),
-                    aval((k,), jnp.int32)).compile()
+                    aval((k,), jnp.int32)))
                 n += 1
         cache_avals = jax.tree.map(cache_aval, self.cache)
-        self._decode.lower(
+        _c("decode", self._decode.lower(
             self.params, aval((self.n_slots, 1), jnp.int32), cache_avals,
-            aval((self.n_slots,), jnp.int32)).compile()
+            aval((self.n_slots,), jnp.int32)))
         n += 1
         if self.ecfg.spec_k > 1:
-            self._verify.lower(
+            _c("verify", self._verify.lower(
                 self.params, aval((self.n_slots, self.ecfg.spec_k),
                                   jnp.int32),
                 cache_avals, aval((self.n_slots,), jnp.int32),
                 aval((2,), jnp.uint32), aval((self.n_slots,), jnp.float32),
                 aval((self.n_slots,), jnp.int32),
-                aval((self.n_slots,), jnp.float32)).compile()
+                aval((self.n_slots,), jnp.float32)))
             n += 1
             if self.ecfg.device_decode_loop:
                 spec_win, _ = self._get_spec_window()
-                spec_win.lower(
+                _c("spec_window", spec_win.lower(
                     self.params, aval((self.n_slots,), jnp.int32),
                     cache_avals, aval((self.n_slots,), jnp.int32),
                     aval(self._hist_np.shape, jnp.int32),
@@ -606,7 +632,7 @@ class ContinuousBatchingEngine:
                     aval((2,), jnp.uint32),
                     aval((self.n_slots,), jnp.float32),
                     aval((self.n_slots,), jnp.int32),
-                    aval((self.n_slots,), jnp.float32)).compile()
+                    aval((self.n_slots,), jnp.float32)))
                 n += 1
         if self.ecfg.spec_k <= 1 or (self.ecfg.spec_adaptive
                                      and self.ecfg.device_decode_loop):
@@ -614,17 +640,17 @@ class ContinuousBatchingEngine:
             # the fallback program adaptive speculation switches to when
             # the measured gain doesn't cover the T=spec_k verify cost
             window, _ = self._get_window()
-            window.lower(
+            _c("window", window.lower(
                 self.params, aval((self.n_slots,), jnp.int32), cache_avals,
                 aval((self.n_slots,), jnp.int32),
                 aval((self.n_slots,), jnp.bool_), aval((2,), jnp.uint32),
                 aval((self.n_slots,), jnp.float32),
                 aval((self.n_slots,), jnp.int32),
-                aval((self.n_slots,), jnp.float32)).compile()
+                aval((self.n_slots,), jnp.float32)))
             n += 1
         if self.cache.k_tail is not None:
-            self._flush.lower(cache_avals,
-                              aval((self.n_slots,), jnp.int32)).compile()
+            _c("flush", self._flush.lower(cache_avals,
+                              aval((self.n_slots,), jnp.int32)))
             n += 1
         return n
 
