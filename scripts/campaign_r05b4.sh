@@ -37,5 +37,13 @@ row $CAP memprobe_slots192_w4 2400 benchserve.py \
 # frontier bracket between 128 (passes) and 192 (fails)
 row $CAP cap_slots160_s128_w4 4800 benchserve.py \
   $CAPENV BENCH_W=4 BENCH_SEQ=128 BENCH_SLOTS=160 BENCH_REQUESTS=640
+# async holds an extra in-flight tail set (the slot-scaled suspect);
+# sync mode drops it — if 192 W4 fits sync, the binder is named by
+# elimination as well as by the memprobe
+row $CAP cap_slots192_s128_w4_sync 4800 benchserve.py \
+  BENCH_PRESET=7b BENCH_KV=int8 BENCH_ATTN=auto BENCH_ARRIVAL_BURST=64 \
+  BENCH_ARRIVAL_P=1 BENCH_PROMPT_MAX=48 BENCH_NEW_MAX=64 BENCH_WARMUP=0 \
+  BENCH_WINDOW_R=16 BENCH_FOLD_FLUSH=0 \
+  BENCH_W=4 BENCH_SEQ=128 BENCH_SLOTS=192 BENCH_REQUESTS=768
 
 echo "=== campaign_r05b4 done $(date +%H:%M:%S) ===" >&2
