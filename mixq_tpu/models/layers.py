@@ -539,8 +539,37 @@ class KVCache:
         B = base.shape[0]
         rows = jnp.arange(B)[:, None]                  # [B, 1]
         pos = base[:, None] + jnp.arange(R)[None]      # [B, R]
-        kv_at = lambda buf, val: buf.at[:, :, rows, pos].set(
-            val.astype(buf.dtype), mode="drop")
+        # Layered flush (MIXQ_FLUSH_LAYERED, default auto): the fused
+        # whole-cache scatter materializes a RELAYOUT COPY of the full
+        # k (and v) array as an HLO temp — 3.0G at 192 slots x 128, the
+        # buffer that binds the capacity frontier (PROFILE_r05 §2.3
+        # memprobe: flush temp=3.000G; XLA transposes the big operand to
+        # match the token-major updates' layout instead of the reverse).
+        # Scattering one layer at a time caps the temp at 1/L of that;
+        # same bytes touched, so per-flush cost is unchanged. auto =
+        # layered once a cache array crosses 1G (big pools only, so the
+        # measured small-pool rows keep their exact program).
+        import os as _os
+
+        _lay = _os.environ.get("MIXQ_FLUSH_LAYERED", "auto")
+        layered = (_lay == "1" or
+                   (_lay == "auto" and self.k.size * self.k.dtype.itemsize
+                    >= (1 << 30)))
+        if layered:
+            def kv_at(buf, val):
+                for l in range(buf.shape[0]):
+                    # the scalar layer index is itself an ADVANCED index,
+                    # and with the h-slice between it and (rows, pos) the
+                    # advanced dims move to the front: the update must be
+                    # [B, R, h(, d)], not [h, B, R(, d)]
+                    upd = val[l].astype(buf.dtype)
+                    upd = jnp.transpose(
+                        upd, (1, 2, 0, 3) if upd.ndim == 4 else (1, 2, 0))
+                    buf = buf.at[l, :, rows, pos].set(upd, mode="drop")
+                return buf
+        else:
+            kv_at = lambda buf, val: buf.at[:, :, rows, pos].set(
+                val.astype(buf.dtype), mode="drop")
         out = self._replace(
             k=kv_at(self.k, kq), v=kv_at(self.v, vq),
             tail_base=jnp.minimum(

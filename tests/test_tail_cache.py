@@ -199,6 +199,35 @@ class TestSlotTail:
                         np.asarray(tail.k_scale[:, :, b, :base]),
                         np.asarray(ref.k_scale[:, :, b, :base]))
 
+    @pytest.mark.parametrize("kv_dtype", [jnp.bfloat16, jnp.int8])
+    def test_layered_flush_matches_fused(self, kv_dtype, monkeypatch):
+        """MIXQ_FLUSH_LAYERED=1 (the per-layer scatter that caps the
+        whole-cache relayout temp — PROFILE_r05 §2.3) is bit-identical
+        to the fused whole-cache scatter, including drop-mode rows near
+        max_seq and quantized scales."""
+        L, B, S, H, D, R = 3, 4, 16, 2, 8, 4
+        lengths = np.asarray([0, 3, S - 2, 5])   # one row overflows S
+        base = jnp.asarray(lengths, jnp.int32)
+        tail = KVCache.create(L, B, S, H, D, kv_dtype, head_major=True,
+                              tail_r=R, per_row_tail=True)
+        tail = tail._replace(tail_base=base)
+        sl = jnp.asarray(lengths, jnp.int32)
+        for t in range(R):
+            kt = jax.random.normal(jax.random.PRNGKey(t), (B, 1, H, D))
+            for i in range(L):
+                tail = tail.update_layer_slots(i, kt, 2 * kt, sl)
+            sl = sl + 1
+        monkeypatch.setenv("MIXQ_FLUSH_LAYERED", "0")
+        fused = tail.flush_tail(sl)
+        monkeypatch.setenv("MIXQ_FLUSH_LAYERED", "1")
+        layered = tail.flush_tail(sl)
+        for name in ("k", "v", "k_scale", "v_scale", "tail_base"):
+            a, b = getattr(fused, name), getattr(layered, name)
+            if a is None:
+                continue
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
     def test_partial_window_flush_resets_cleanly(self):
         """A flush mid-window (a row joined late) lands staged tokens at
         their positions, advances tail_base to the row's length, and
