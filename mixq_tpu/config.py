@@ -237,8 +237,14 @@ class EngineConfig:
     # spec_min_gain, the engine serves PLAIN windows and re-probes with
     # spec windows every spec_probe_every plain windows (slot histories
     # are resynced from the host records on each probe).
+    # spec_min_gain=None derives the threshold from spec_k as
+    # 0.55 * (spec_k + 1): the r5 acceptance-cost curve measured a T=4
+    # verify forward at ~2.7x a plain step in wall-clock (7B, 32 slots —
+    # spec wins +14% at gain 3.04, loses -22% at gain 2.2, crossover
+    # ~2.75; SERVE_SPEC_R05.jsonl). The old flat 1.15 default kept the
+    # router in spec windows through the whole losing region.
     spec_adaptive: bool = True
-    spec_min_gain: float = 1.15
+    spec_min_gain: Optional[float] = None
     spec_probe_len: int = 2
     spec_probe_every: int = 16
     # MEASUREMENT INSTRUMENT (acceptance-cost curve, PROFILE_r05): corrupt

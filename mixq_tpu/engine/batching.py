@@ -1031,7 +1031,12 @@ class ContinuousBatchingEngine:
             self._spec_gains.append(self._last_spec_gain)
         if len(self._spec_gains) >= ecfg.spec_probe_len:
             window = self._spec_gains[-ecfg.spec_probe_len:]
-            if sum(window) / len(window) < ecfg.spec_min_gain:
+            # None: threshold derived from the measured verify-forward
+            # cost, ~0.55 * (T+1) plain-steps at T=spec_k (config.py)
+            min_gain = (ecfg.spec_min_gain
+                        if ecfg.spec_min_gain is not None
+                        else 0.55 * (ecfg.spec_k + 1))
+            if sum(window) / len(window) < min_gain:
                 self._spec_mode = "plain"
             self._spec_gains.clear()
         return n
