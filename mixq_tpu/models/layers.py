@@ -545,16 +545,21 @@ class KVCache:
         # buffer that binds the capacity frontier (PROFILE_r05 §2.3
         # memprobe: flush temp=3.000G; XLA transposes the big operand to
         # match the token-major updates' layout instead of the reverse).
-        # Scattering one layer at a time caps the temp at 1/L of that;
-        # same bytes touched, so per-flush cost is unchanged. auto =
-        # layered once a cache array crosses 1G (big pools only, so the
-        # measured small-pool rows keep their exact program).
+        # Scattering one layer at a time caps the temp at 1/L of that —
+        # but it is NOT free: the measured knee control (128 slots x 128,
+        # 2.1G/array) LOSES 38% under layered (1,663.7 vs 2,701.0 tok/s,
+        # SERVE_CAP_R05 cap_slots128_s128_layered — the L serialized
+        # scatters cost far more device time than the one fused scatter
+        # they replace). auto therefore enables layered only past the
+        # fused flush's measured compile-OOM boundary (192 slots x 128 =
+        # 3.1G/array OOMs at 17.48G; 2.1G compiles and wins), i.e. where
+        # the choice is layered-or-nothing: threshold 2.5G.
         import os as _os
 
         _lay = _os.environ.get("MIXQ_FLUSH_LAYERED", "auto")
         layered = (_lay == "1" or
                    (_lay == "auto" and self.k.size * self.k.dtype.itemsize
-                    >= (1 << 30)))
+                    >= (5 << 29)))
         if layered:
             def kv_at(buf, val):
                 for l in range(buf.shape[0]):
